@@ -1,0 +1,74 @@
+"""Image resizing with PyTorch-compatible semantics, NHWC layout.
+
+The reference uses three resize flavours on the hot paths:
+- nearest x2 inside the RRDBNet upsample stages (ssr/archs/rrdbnet_arch.py:127-134)
+- nearest x4 for discriminator LR conditioning (ssr/models/ssr_esrgan_model.py:133)
+- bilinear x2 (align_corners=False) inside the U-Net discriminator
+  (ssr/archs/discriminator_arch.py:50-60)
+- bilinear resize with antialias for SRCNN output (ssr/archs/srcnn_arch.py:118-123)
+
+For integer upsampling, nearest == repeat and bilinear(align_corners=False) ==
+half-pixel-centres linear interpolation, both reproduced exactly here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
+    """Nearest-neighbour integer upsample of an NHWC array.
+
+    Exactly matches torch.nn.functional.interpolate(mode='nearest') for integer
+    scale factors (each source pixel becomes a scale x scale block).
+    """
+    if scale == 1:
+        return x
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    return x
+
+
+def _linear_weights(out_size: int, in_size: int, dtype):
+    """Source indices + lerp weights for half-pixel-centre linear interpolation."""
+    # Half-pixel centres: src = (dst + 0.5) * (in/out) - 0.5, clamped.
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) * (in_size / out_size) - 0.5
+    src = jnp.clip(src, 0.0, in_size - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo.astype(jnp.float32)).astype(dtype)
+    return lo, hi, w_hi
+
+
+def upsample_bilinear(x: jax.Array, scale: int) -> jax.Array:
+    """Bilinear upsample (align_corners=False), matching torch's F.interpolate."""
+    n, h, w, c = x.shape
+    return resize_bilinear(x, (h * scale, w * scale))
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], antialias: bool = False) -> jax.Array:
+    """Bilinear resize of NHWC with half-pixel centres (align_corners=False).
+
+    With antialias=True and a downscale this matches torch/kornia antialiased
+    resize via jax.image.resize (triangle kernel scaled to the footprint).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    if antialias and (oh < h or ow < w):
+        return jax.image.resize(x, (n, oh, ow, c), method="linear", antialias=True)
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    lo_h, hi_h, wh = _linear_weights(oh, h, jnp.float32)
+    lo_w, hi_w, ww = _linear_weights(ow, w, jnp.float32)
+    # Interpolate rows then columns; gathers on the spatial axes.
+    top = jnp.take(xf, lo_h, axis=1)
+    bot = jnp.take(xf, hi_h, axis=1)
+    xf = top + (bot - top) * wh[None, :, None, None]
+    left = jnp.take(xf, lo_w, axis=2)
+    right = jnp.take(xf, hi_w, axis=2)
+    xf = left + (right - left) * ww[None, None, :, None]
+    return xf.astype(dtype)

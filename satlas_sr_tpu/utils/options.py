@@ -1,0 +1,201 @@
+"""YAML config system preserving the reference option-file schema.
+
+Parity with ssr/utils/options.py: `-opt` YAML parsing, `--force_yml` nested
+overrides (implemented safely without exec), `--debug` renaming + shortened
+frequencies, `--auto_resume`, per-phase dataset injection (phase/scale), and
+the experiments/results directory layout:
+  experiments/<name>/{models,training_states,visualization}
+  results/<name>/visualization
+Known reference bugs intentionally fixed (SURVEY.md §5.6): missing `random`
+import when manual_seed is absent; exec-based overrides.
+
+Distributed: instead of torch.distributed NCCL init (options.py:64-74), the
+launcher flag maps to jax.distributed.initialize(); rank == jax.process_index()
+and world_size == jax.process_count().
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import Any, Dict, Tuple
+
+import yaml
+
+
+def yaml_load(f: str) -> Dict[str, Any]:
+    """Load YAML from a path or a literal string (insertion-ordered dicts)."""
+    if os.path.isfile(f):
+        with open(f, "r") as fh:
+            return yaml.safe_load(fh)
+    return yaml.safe_load(f)
+
+
+def _postprocess_yml_value(value: str) -> Any:
+    if value in ("~", "none", "None", "null"):
+        return None
+    if value.lower() == "true":
+        return True
+    if value.lower() == "false":
+        return False
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    if value.startswith("["):
+        return yaml.safe_load(value)
+    return value
+
+
+def apply_force_yml(opt: Dict[str, Any], entries) -> None:
+    """Apply `a:b:c=value` overrides in place (no new keys created)."""
+    for entry in entries or []:
+        keys, value = entry.split("=", 1)
+        keys = keys.strip().split(":")
+        node = opt
+        for k in keys[:-1]:
+            node = node[k]
+        if keys[-1] not in node:
+            raise KeyError(f"--force_yml cannot create new key {':'.join(keys)}")
+        node[keys[-1]] = _postprocess_yml_value(value.strip())
+
+
+def init_distributed(launcher: str) -> Tuple[int, int]:
+    """Map the reference launcher flag onto JAX multi-process init.
+
+    Returns (rank, world_size). 'none' stays single-process; anything else
+    calls jax.distributed.initialize() (coordinator discovery from env).
+    """
+    import jax
+
+    if launcher != "none":
+        try:
+            jax.distributed.initialize()
+        except Exception:  # already initialized or single-host fallback
+            pass
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def parse_options(root_path: str, is_train: bool = True, argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True, help="Path to option YAML file.")
+    parser.add_argument(
+        "--launcher", choices=["none", "pytorch", "slurm", "jax"], default="none",
+        help="job launcher ('jax' and the legacy names all map to jax.distributed)",
+    )
+    parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--local-rank", type=int, default=0)  # accepted, unused
+    parser.add_argument(
+        "--force_yml", nargs="+", default=None,
+        help="Override yml entries, e.g. train:ema_decay=0.999",
+    )
+    args = parser.parse_args(argv)
+
+    opt = yaml_load(args.opt)
+
+    opt["dist"] = args.launcher != "none"
+    opt["rank"], opt["world_size"] = init_distributed(args.launcher)
+
+    seed = opt.get("manual_seed")
+    if seed is None:
+        seed = random.randint(1, 10000)
+        opt["manual_seed"] = seed
+    opt["seed_with_rank"] = seed + opt["rank"]
+
+    apply_force_yml(opt, args.force_yml)
+
+    opt["auto_resume"] = args.auto_resume
+    opt["is_train"] = is_train
+
+    if args.debug and not opt["name"].startswith("debug"):
+        opt["name"] = "debug_" + opt["name"]
+
+    if opt.get("num_gpu") == "auto":
+        import jax
+
+        opt["num_gpu"] = jax.local_device_count()
+
+    for phase, dataset in (opt.get("datasets") or {}).items():
+        phase_key = phase.split("_")[0]
+        dataset.setdefault("phase", phase_key)
+        if "scale" in opt:
+            dataset["scale"] = opt["scale"]
+    for _, dataset in (opt.get("test_datasets") or {}).items():
+        dataset.setdefault("phase", "test")
+        if "scale" in opt:
+            dataset.setdefault("scale", opt["scale"])
+
+    path_opt = opt.setdefault("path", {})
+    for key, val in list(path_opt.items()):
+        if val is not None and ("resume_state" in key or "pretrain_network" in key):
+            path_opt[key] = os.path.expanduser(val)
+
+    if is_train:
+        experiments_root = path_opt.get("experiments_root") or os.path.join(
+            root_path, "experiments"
+        )
+        experiments_root = os.path.join(experiments_root, opt["name"])
+        path_opt["experiments_root"] = experiments_root
+        path_opt["models"] = os.path.join(experiments_root, "models")
+        path_opt["training_states"] = os.path.join(experiments_root, "training_states")
+        path_opt["log"] = experiments_root
+        path_opt["visualization"] = os.path.join(experiments_root, "visualization")
+        if "debug" in opt["name"]:
+            if "val" in opt and opt["val"] is not None:
+                opt["val"]["val_freq"] = 8
+            opt["logger"]["print_freq"] = 1
+            opt["logger"]["save_checkpoint_freq"] = 8
+    else:
+        results_root = path_opt.get("results_root") or os.path.join(root_path, "results")
+        results_root = os.path.join(results_root, opt["name"])
+        path_opt["results_root"] = results_root
+        path_opt["log"] = results_root
+        path_opt["visualization"] = os.path.join(results_root, "visualization")
+
+    return opt, args
+
+
+def make_exp_dirs(opt: Dict[str, Any]) -> None:
+    path_opt = opt["path"]
+    if opt.get("is_train"):
+        for key in ("experiments_root", "models", "training_states", "visualization"):
+            os.makedirs(path_opt[key], exist_ok=True)
+    else:
+        for key in ("results_root", "visualization"):
+            os.makedirs(path_opt[key], exist_ok=True)
+
+
+def copy_opt_file(opt_path: str, dest_dir: str) -> None:
+    import shutil
+    import sys
+    import time
+
+    os.makedirs(dest_dir, exist_ok=True)
+    base = os.path.basename(opt_path)
+    dest = os.path.join(dest_dir, base)
+    shutil.copyfile(opt_path, dest)
+    with open(dest, "a") as f:
+        f.write(
+            f"\n# Run: {time.strftime('%Y-%m-%d %H:%M:%S')} argv: {' '.join(sys.argv)}\n"
+        )
+
+
+def dict2str(opt: Dict[str, Any], indent_level: int = 1) -> str:
+    msg = "\n"
+    for k, v in opt.items():
+        if isinstance(v, dict):
+            msg += " " * (indent_level * 2) + k + ":["
+            msg += dict2str(v, indent_level + 1)
+            msg += " " * (indent_level * 2) + "]\n"
+        else:
+            msg += " " * (indent_level * 2) + f"{k}: {v}\n"
+    return msg
