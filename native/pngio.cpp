@@ -1,0 +1,135 @@
+// Native PNG decode/encode for the satlas_sr_tpu host data pipeline.
+//
+// Fills the role torchvision's C++ PNG decoder plays for the reference's
+// dataloader workers (SURVEY.md §2.10 row (b)): fast, GIL-free image IO
+// feeding the TPU input pipeline. Exposed to Python via ctypes
+// (satlas_sr_tpu/utils/native_png.py). Gray/RGB/RGBA/palette inputs are
+// normalised to 8-bit with alpha stripped, matching the framework's
+// HWC-uint8 convention.
+
+#include <png.h>
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Decode `path` into a malloc'd H*W*C uint8 buffer. Returns 0 on success.
+int pngio_read(const char* path, int* out_h, int* out_w, int* out_c,
+               void** out_buf) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return 1;
+
+  png_byte header[8];
+  if (fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(fp);
+    return 2;
+  }
+
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return 3;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(fp);
+    return 3;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return 4;
+  }
+
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 width = png_get_image_width(png, info);
+  png_uint_32 height = png_get_image_height(png, info);
+  png_byte color_type = png_get_color_type(png, info);
+  png_byte bit_depth = png_get_bit_depth(png, info);
+
+  // Normalise to 8-bit gray or RGB, alpha stripped.
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  int channels = png_get_channels(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  auto* buf = static_cast<unsigned char*>(malloc(height * rowbytes));
+  if (!buf) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return 5;
+  }
+
+  std::vector<png_bytep> rows(height);
+  for (png_uint_32 y = 0; y < height; ++y) rows[y] = buf + y * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+
+  *out_h = static_cast<int>(height);
+  *out_w = static_cast<int>(width);
+  *out_c = channels;
+  *out_buf = buf;
+  return 0;
+}
+
+void pngio_free(void* buf) { free(buf); }
+
+// Encode an H*W*C uint8 buffer (C in {1,3}) to `path`. Returns 0 on success.
+int pngio_write(const char* path, const void* data, int h, int w, int c) {
+  if (c != 1 && c != 3) return 1;
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return 2;
+
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return 3;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return 3;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return 4;
+  }
+
+  png_init_io(png, fp);
+  png_set_IHDR(png, info, w, h, 8,
+               c == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  // Favor throughput over ratio: the pipeline writes thousands of tiles.
+  png_set_compression_level(png, 1);
+  png_write_info(png, info);
+
+  const auto* base = static_cast<const unsigned char*>(data);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(base + static_cast<size_t>(y) * w * c);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
+}  // extern "C"

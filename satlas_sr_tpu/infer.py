@@ -1,0 +1,95 @@
+"""GT-free inference CLI.
+
+Parity with ssr/infer.py: `python -m satlas_sr_tpu.infer -opt <yml>` reads an
+infer config (data_dir / n_lr_images / save_path / network_g / path), globs
+`**/*.png`, super-resolves each and writes `{save_path}/{i}/sr.png` plus the
+first low-res frame as `lr.png`.
+
+TPU-first: pngs are decoded on host threads and run through the batched
+InferenceEngine (one jitted uint8->uint8 program, batch sharded over local
+devices) instead of the reference's batch=1 per-image device round trips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import jax
+import numpy as np
+
+from .inference import InferenceEngine, batched
+from .utils.checkpoint import load_network_variables
+from .utils.imgio import write_png
+from .utils.infer_utils import format_s2naip_batch
+from .utils.model_utils import build_network
+from .utils.options import yaml_load
+
+
+def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) -> int:
+    data_dir = opt["data_dir"]
+    n_lr_images = int(opt["n_lr_images"])
+    save_path = opt["save_path"]
+    batch_size = int(opt.get("batch_size", 64))
+    use_3d = opt["network_g"]["type"] in ("SRCNN", "HighResNet")
+
+    model = build_network(opt)
+    path_opt = opt.get("path", {})
+    weights = path_opt.get("pretrain_network_g")
+    if weights:
+        variables = load_network_variables(
+            opt["network_g"]["type"], weights, opt["network_g"],
+            path_opt.get("param_key_g", "params_ema"),
+        )
+    else:
+        print("WARNING: Model weights are not specified in configuration file.")
+        example = (
+            np.zeros((1, n_lr_images, 32, 32, 3), np.float32)
+            if use_3d
+            else np.zeros((1, 32, 32, n_lr_images * 3), np.float32)
+        )
+        variables = model.init(jax.random.PRNGKey(0), example)
+
+    engine = InferenceEngine(
+        model, variables, batch_size=batch_size, use_3d=use_3d, n_frames=n_lr_images,
+        matmul_precision=str(opt.get("matmul_precision", "highest")),
+    )
+
+    pngs = sorted(glob.glob(os.path.join(data_dir, "**", "*.png"), recursive=True))
+    print(f"Running inference on {len(pngs)} images.")
+    t0 = time.time()
+    count = 0
+    for batch_idx, batch_paths in enumerate(batched(pngs, engine.batch_size)):
+        inputs, previews = format_s2naip_batch(
+            batch_paths, n_lr_images, seed=opt.get("manual_seed", 0) or 0
+        )
+        outputs = engine.run(inputs)
+        for k, path in enumerate(batch_paths):
+            if grid_naming:
+                # Preserve {tile}/{i}_{j}.png for stitching (ssr/infer_grid.py:49-53).
+                tile, idx = path.split("/")[-2], path.split("/")[-1]
+                write_png(os.path.join(save_path, tile, idx), outputs[k])
+            else:
+                out_dir = os.path.join(save_path, str(count))
+                if save_lr:
+                    write_png(os.path.join(out_dir, "lr.png"), previews[k])
+                write_png(os.path.join(out_dir, "sr.png"), outputs[k])
+            count += 1
+    dt = time.time() - t0
+    if count:
+        print(f"Done: {count} images in {dt:.2f}s ({count / dt:.1f} img/s)")
+    return count
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True, help="Path to the options file.")
+    args = parser.parse_args(argv)
+    opt = yaml_load(args.opt)
+    run_inference(opt)
+
+
+if __name__ == "__main__":
+    main()

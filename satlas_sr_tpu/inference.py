@@ -1,0 +1,93 @@
+"""Batched TPU inference engine.
+
+Replaces the reference's per-png batch=1 GPU loop (ssr/infer.py:45-67 — the
+hot loop flagged in SURVEY.md §3.3) with a TPU-first design:
+
+- ONE jitted program: uint8 NHWC batch in -> /255 -> generator -> clamp ->
+  *255 uint8 out. Host<->device traffic is uint8 (4x smaller than float32) and
+  quantisation runs on device.
+- Fixed batch size with padding of the last partial batch: a single compiled
+  executable regardless of corpus size (no recompiles, XLA-friendly static
+  shapes).
+- Optional bfloat16 compute and data-parallel sharding of the batch axis over
+  a device mesh (jax.sharding) — infer_grid's 256 chunks per tile shard across
+  all local devices (SURVEY.md §3.4, §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .parallel.mesh import data_mesh, shard_batch
+
+
+class InferenceEngine:
+    """Compiles and runs the uint8-to-uint8 SR program at a fixed batch size."""
+
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        batch_size: int = 64,
+        use_3d: bool = False,
+        n_frames: Optional[int] = None,
+        matmul_precision: str = "highest",
+        use_mesh: bool = True,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.use_3d = use_3d
+        self.n_frames = n_frames
+        self.mesh = data_mesh() if use_mesh else None
+        if self.mesh is not None:
+            # Pad batch to a multiple of the mesh size for even sharding.
+            n_dev = self.mesh.devices.size
+            self.batch_size = max(batch_size // n_dev, 1) * n_dev
+        self.variables = jax.device_put(variables)
+        self._precision = matmul_precision
+
+        @jax.jit
+        def _run(variables, x_uint8):
+            with jax.default_matmul_precision(self._precision):
+                x = x_uint8.astype(self.model.dtype) / jnp.asarray(255.0, self.model.dtype)
+                y = self.model.apply(variables, x)
+                if y.ndim == 5:  # [B, 1, H, W, C] from SRCNN/HighResNet
+                    y = y[:, 0]
+                y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
+                return (y * 255.0).astype(jnp.uint8)
+
+        self._run = _run
+
+    def _prep(self, batch_np: np.ndarray) -> np.ndarray:
+        """Pad to the compiled batch size; optionally reshape to 5-D frames."""
+        n = batch_np.shape[0]
+        if n < self.batch_size:
+            pad = np.repeat(batch_np[:1], self.batch_size - n, axis=0)
+            batch_np = np.concatenate([batch_np, pad], axis=0)
+        if self.use_3d and batch_np.ndim == 4:
+            b, h, w, tc = batch_np.shape
+            t = self.n_frames or tc // 3
+            batch_np = batch_np.reshape(b, h, w, t, tc // t).transpose(0, 3, 1, 2, 4)
+        return batch_np
+
+    def run(self, batch_np: np.ndarray) -> np.ndarray:
+        """uint8 [B, 32, 32, T*3] (or 5-D) -> uint8 [B, H_out, W_out, 3]."""
+        n = batch_np.shape[0]
+        x = self._prep(np.ascontiguousarray(batch_np))
+        if self.mesh is not None:
+            x = shard_batch(self.mesh, x)
+        y = self._run(self.variables, x)
+        return np.asarray(y)[:n]
+
+    def run_many(self, batches: Iterable[np.ndarray]) -> Iterable[np.ndarray]:
+        for b in batches:
+            yield self.run(b)
+
+
+def batched(items: Sequence, batch_size: int) -> List[Sequence]:
+    return [items[i : i + batch_size] for i in range(0, len(items), batch_size)]

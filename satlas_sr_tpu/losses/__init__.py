@@ -1,0 +1,14 @@
+"""Loss registry package (importing registers all losses)."""
+
+from .basic import build_loss, gan_loss, l1_loss, mse_loss, ssim_loss, bce_with_logits
+from . import perceptual  # registers PerceptualLoss
+from . import clip  # registers CLIPLoss
+
+__all__ = [
+    "build_loss",
+    "gan_loss",
+    "l1_loss",
+    "mse_loss",
+    "ssim_loss",
+    "bce_with_logits",
+]

@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers — the framework's parallelism substrate.
+
+Replaces the reference's torch.distributed/NCCL surface (SURVEY.md §5.8):
+- init_dist           -> jax.distributed.initialize (utils/options.py)
+- DDP gradient sync   -> batch-sharded jitted step; XLA inserts psums over ICI
+- reduce_loss_dict    -> global means inside the jitted step (same collectives)
+- master_only         -> is_main_process()
+- EnlargedSampler     -> per-process shard slicing in the data pipeline
+
+The mesh is 1-D ('data') because the reference's only parallelism is data
+parallelism (SURVEY.md §2.10); model size (~17M params) makes TP/PP
+counterproductive at these shapes. The helpers are written against arbitrary
+mesh sizes so the same code runs on 1 chip, a v5e-8 slice, or the 8-device
+virtual CPU mesh used in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(devices: Optional[list] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch (pytree of arrays) sharded on axis 0."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def local_shard_indices(total: int, shard: int, num_shards: int):
+    """Round-robin indices for per-process data sharding (EnlargedSampler analog)."""
+    return list(range(shard, total, num_shards))

@@ -1,0 +1,58 @@
+"""PNG read/write for the host-side pipeline.
+
+Images are RGB uint8 HWC end-to-end (the reference's skimage/tensor2img paths
+net out to RGB files as well). The native C++ decode path (native/pngio.cpp)
+is used when built — it releases the GIL and decodes with libpng directly;
+PIL is the fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _native_lib():
+    from . import native_png
+
+    return native_png if native_png.available() else None
+
+
+def read_png(path: str) -> np.ndarray:
+    """Read a PNG into an HWC uint8 array (grayscale -> HW1)."""
+    try:
+        native = _native_lib()
+    except Exception:
+        native = None
+    if native is not None:
+        arr = native.read_png(path)
+        if arr is not None:
+            return arr
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode not in ("RGB", "L", "RGBA"):
+            im = im.convert("RGB")
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[-1] == 4:
+        arr = arr[..., :3]
+    return np.ascontiguousarray(arr)
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write an HWC uint8 array as a PNG (creates parent dirs)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        native = _native_lib()
+    except Exception:
+        native = None
+    if native is not None and native.write_png(path, img):
+        return
+    from PIL import Image
+
+    if img.ndim == 3 and img.shape[-1] == 1:
+        img = img[..., 0]
+    Image.fromarray(img).save(path)

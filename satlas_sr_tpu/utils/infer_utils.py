@@ -1,0 +1,91 @@
+"""Host-side helpers for GT-free inference.
+
+Parity with ssr/utils/infer_utils.py:
+- format_s2naip_data (infer_utils.py:6-39): reshape a flat [T*32, 32, 3] png
+  to frames, split good/bad frames by the *inference* black predicate (any
+  zero element — numpy `[0,0,0] in ts` semantics, deliberately different from
+  training's channel-sum test; SURVEY.md §2.8), sample n good-first, stack to
+  a channel-stacked model input.
+- stitch (infer_utils.py:41-60): assemble a grid of {i}_{j}.png chunks into a
+  single image, vectorised on the host.
+
+TPU-first deviation: formatting is batch-oriented. format_s2naip_batch
+prepares many pngs into one uint8 [B, 32, 32, T*3] array so a single jitted
+device program does /255 normalisation and the forward pass (uint8 over PCIe,
+not float32 — 4x less host->device traffic than the reference's per-png loop).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .imgio import read_png, write_png
+
+
+def select_frames(
+    frame_is_bad: np.ndarray, n_images: int, rng: np.random.RandomState
+) -> List[int]:
+    """Pick n frame indices, sampling valid frames first (reference policy)."""
+    goods = [i for i, bad in enumerate(frame_is_bad) if not bad]
+    bads = [i for i, bad in enumerate(frame_is_bad) if bad]
+    if len(goods) >= n_images:
+        idx = rng.choice(len(goods), size=n_images, replace=False)
+        return [goods[i] for i in idx]
+    need = n_images - len(goods)
+    extra = rng.choice(len(bads), size=need, replace=False)
+    return goods + [bads[i] for i in extra]
+
+
+def format_s2naip_data(
+    s2_data: np.ndarray, n_s2_images: int, rng: np.random.RandomState | None = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[T*32, 32, 3] uint8 -> ([32, 32, T*3] uint8 channel-stacked, first frame).
+
+    Inference black-frame predicate: a frame is bad if ANY element is zero
+    (numpy membership semantics of the reference, infer_utils.py:17).
+    """
+    rng = rng or np.random.RandomState(0)
+    chunks = s2_data.reshape(-1, 32, 32, 3)
+    preview = chunks[0]
+    frame_is_bad = (chunks == 0).any(axis=(1, 2, 3))
+    indices = select_frames(frame_is_bad, n_s2_images, rng)
+    picked = chunks[indices]  # [T, 32, 32, 3]
+    stacked = np.concatenate(list(picked), axis=-1)  # [32, 32, T*3]
+    return stacked, preview
+
+
+def format_s2naip_batch(
+    pngs: Sequence[str], n_s2_images: int, seed: int = 0
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Decode + format many pngs into one [B, 32, 32, T*3] uint8 batch."""
+    inputs, previews = [], []
+    for i, path in enumerate(pngs):
+        rng = np.random.RandomState(seed + i)
+        data = read_png(path)
+        stacked, preview = format_s2naip_data(data, n_s2_images, rng)
+        inputs.append(stacked)
+        previews.append(preview)
+    return np.stack(inputs), previews
+
+
+def stitch(
+    chunks_dir: str,
+    img_size: int,
+    save_path: str,
+    scale: int = 4,
+    grid_size: int = 16,
+    sentinel2: bool = False,
+) -> None:
+    """Assemble {i}_{j}.png chunks for i,j in [0, grid_size) into one image."""
+    chunk = img_size // grid_size
+    canvas = np.zeros((img_size, img_size, 3), dtype=np.uint8)
+    for i in range(grid_size):
+        for j in range(grid_size):
+            tile = read_png(os.path.join(chunks_dir, f"{i}_{j}.png"))
+            if sentinel2:
+                tile = tile.reshape(-1, 32, 32, 3)[0]
+            canvas[i * chunk : (i + 1) * chunk, j * chunk : (j + 1) * chunk] = tile
+    write_png(save_path, canvas)

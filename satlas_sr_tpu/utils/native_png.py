@@ -1,0 +1,89 @@
+"""ctypes bindings for the native libpng decode/encode library.
+
+Built from native/pngio.cpp into satlas_sr_tpu/utils/_pngio.so (see
+native/build.sh). Mirrors the role torchvision's C++ PNG decoder plays for the
+reference's dataloader workers (SURVEY.md §2.10 row (b)) — decode happens
+outside the GIL so Python-side prefetch threads overlap with TPU compute.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "_pngio.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.pngio_read.restype = ctypes.c_int
+        lib.pngio_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.pngio_free.argtypes = [ctypes.c_void_p]
+        lib.pngio_write.restype = ctypes.c_int
+        lib.pngio_write.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_png(path: str) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    buf = ctypes.c_void_p()
+    rc = lib.pngio_read(path.encode(), ctypes.byref(h), ctypes.byref(w),
+                        ctypes.byref(c), ctypes.byref(buf))
+    if rc != 0:
+        return None
+    try:
+        n = h.value * w.value * c.value
+        arr = np.ctypeslib.as_array(
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), shape=(n,)
+        ).copy()
+    finally:
+        lib.pngio_free(buf)
+    return arr.reshape(h.value, w.value, c.value)
+
+
+def write_png(path: str, img: np.ndarray) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    rc = lib.pngio_write(path.encode(), img.ctypes.data_as(ctypes.c_void_p), h, w, c)
+    return rc == 0

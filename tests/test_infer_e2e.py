@@ -1,0 +1,129 @@
+"""End-to-end inference CLI tests on a synthetic S2-NAIP tree.
+
+Exercises the full infer / infer_grid paths: yaml config -> network build ->
+.pth weight import -> batched jitted inference -> png save -> grid stitch
+(reference call stacks SURVEY.md §3.3/§3.4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from satlas_sr_tpu.archs import RRDBNet
+from satlas_sr_tpu.utils import torch_io
+from satlas_sr_tpu.utils.imgio import read_png, write_png
+
+
+N_FRAMES = 2
+TINY_NET = dict(num_in_ch=N_FRAMES * 3, num_out_ch=3, num_feat=8, num_block=1, num_grow_ch=4)
+
+
+def _make_weights(tmp_path):
+    model = RRDBNet(**TINY_NET)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, N_FRAMES * 3)))
+    sd = torch_io.rrdbnet_to_torch(variables)
+    path = str(tmp_path / "net_g.pth")
+    torch_io.save_torch_state_dict(path, sd, param_key="params_ema")
+    return path
+
+
+def _opt(tmp_path, data_dir, save_path):
+    return {
+        "data_dir": str(data_dir),
+        "save_path": str(save_path),
+        "n_lr_images": N_FRAMES,
+        "scale": 4,
+        "batch_size": 8,
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": N_FRAMES * 3, "num_out_ch": 3,
+                      "num_feat": 8, "num_block": 1, "num_grow_ch": 4},
+        "path": {"pretrain_network_g": _make_weights(tmp_path), "param_key_g": "params_ema",
+                 "strict_load_g": True},
+    }
+
+
+def _write_s2_png(path, rng, n_frames=4, black_frame=None):
+    data = (rng.rand(n_frames * 32, 32, 3) * 254 + 1).astype(np.uint8)
+    if black_frame is not None:
+        data[black_frame * 32 : black_frame * 32 + 4] = 0
+    write_png(str(path), data)
+    return data
+
+
+def test_infer_end_to_end(tmp_path, rng):
+    from satlas_sr_tpu.infer import run_inference
+
+    data_dir = tmp_path / "sentinel2" / "sub"
+    os.makedirs(data_dir)
+    for i in range(3):
+        _write_s2_png(data_dir / f"{i}.png", rng, n_frames=4, black_frame=1 if i == 0 else None)
+
+    save = tmp_path / "out"
+    count = run_inference(_opt(tmp_path, tmp_path / "sentinel2", save))
+    assert count == 3
+    for i in range(3):
+        sr = read_png(str(save / str(i) / "sr.png"))
+        lr = read_png(str(save / str(i) / "lr.png"))
+        assert sr.shape == (128, 128, 3)
+        assert lr.shape == (32, 32, 3)
+
+
+def test_infer_grid_end_to_end(tmp_path, rng):
+    from satlas_sr_tpu.infer_grid import main as grid_main
+    import yaml
+
+    grid = 4  # scaled-down grid; stitch asserts on 16x16 in prod via 256 check
+    tile_dir = tmp_path / "s2" / "tile_1_2"
+    os.makedirs(tile_dir)
+    for i in range(grid):
+        for j in range(grid):
+            _write_s2_png(tile_dir / f"{i}_{j}.png", rng, n_frames=N_FRAMES)
+
+    save = tmp_path / "out"
+    opt = _opt(tmp_path, tmp_path / "s2", save)
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    grid_main(["-opt", str(opt_path)])
+
+    # 16 chunks < 256 -> stitch skipped, but per-chunk SR must exist with grid naming
+    for i in range(grid):
+        for j in range(grid):
+            out = read_png(str(save / "tile_1_2" / f"{i}_{j}.png"))
+            assert out.shape == (128, 128, 3)
+
+
+def test_stitch_assembles_grid(tmp_path, rng):
+    from satlas_sr_tpu.utils.infer_utils import stitch
+
+    chunks = tmp_path / "chunks"
+    os.makedirs(chunks)
+    tiles = {}
+    for i in range(16):
+        for j in range(16):
+            t = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+            tiles[(i, j)] = t
+            write_png(str(chunks / f"{i}_{j}.png"), t)
+    out_path = tmp_path / "stitched.png"
+    stitch(str(chunks), 2048, str(out_path))
+    stitched = read_png(str(out_path))
+    assert stitched.shape == (2048, 2048, 3)
+    np.testing.assert_array_equal(stitched[128:256, 256:384], tiles[(1, 2)])
+
+
+def test_format_s2naip_prefers_good_frames(rng):
+    from satlas_sr_tpu.utils.infer_utils import format_s2naip_data
+
+    data = (rng.rand(4 * 32, 32, 3) * 254 + 1).astype(np.uint8)
+    data[0:32][5, 5] = 0  # frame 0 has a zero element -> bad by infer predicate
+    stacked, preview = format_s2naip_data(data, 3, np.random.RandomState(0))
+    assert stacked.shape == (32, 32, 9)
+    np.testing.assert_array_equal(preview, data[:32])
+    # All 3 picked frames must come from the good set {1, 2, 3}.
+    frames = data.reshape(4, 32, 32, 3)
+    picked = [stacked[..., 3 * k : 3 * k + 3] for k in range(3)]
+    for p in picked:
+        assert any(np.array_equal(p, frames[i]) for i in (1, 2, 3))

@@ -1,0 +1,93 @@
+"""Op-level parity tests against PyTorch semantics."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from satlas_sr_tpu.ops import (
+    lower_median,
+    pixel_shuffle,
+    pixel_unshuffle,
+    ssim_loss,
+    upsample_bilinear,
+    upsample_nearest,
+    usm_sharp,
+)
+from satlas_sr_tpu.ops.resize import resize_bilinear
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def _nchw(y):
+    return np.transpose(np.asarray(y), (0, 3, 1, 2))
+
+
+def test_upsample_nearest_matches_torch(rng):
+    x = rng.randn(2, 3, 5, 7).astype(np.float32)
+    y_t = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="nearest").numpy()
+    y_j = _nchw(upsample_nearest(_nhwc(x), 2))
+    np.testing.assert_array_equal(y_j, y_t)
+
+
+def test_upsample_bilinear_matches_torch(rng):
+    x = rng.randn(2, 3, 4, 6).astype(np.float32)
+    y_t = F.interpolate(
+        torch.from_numpy(x), scale_factor=2, mode="bilinear", align_corners=False
+    ).numpy()
+    y_j = _nchw(upsample_bilinear(_nhwc(x), 2))
+    np.testing.assert_allclose(y_j, y_t, atol=1e-6)
+
+
+def test_resize_bilinear_arbitrary_matches_torch(rng):
+    x = rng.randn(1, 3, 16, 16).astype(np.float32)
+    y_t = F.interpolate(
+        torch.from_numpy(x), size=(7, 11), mode="bilinear", align_corners=False
+    ).numpy()
+    y_j = _nchw(resize_bilinear(_nhwc(x), (7, 11)))
+    np.testing.assert_allclose(y_j, y_t, atol=1e-5)
+
+
+def test_pixel_shuffle_roundtrip_matches_torch(rng):
+    x = rng.randn(2, 16, 4, 4).astype(np.float32)
+    y_t = F.pixel_shuffle(torch.from_numpy(x), 2).numpy()
+    y_j = _nchw(pixel_shuffle(_nhwc(x), 2))
+    np.testing.assert_array_equal(y_j, y_t)
+    back = pixel_unshuffle(_nhwc(y_t), 2)
+    np.testing.assert_array_equal(_nchw(back), x)
+
+
+def test_lower_median_matches_torch(rng):
+    x = rng.randn(2, 8, 3, 4, 4).astype(np.float32)
+    m_t = torch.from_numpy(x).median(dim=1, keepdim=True).values.numpy()
+    m_j = np.asarray(lower_median(jnp.asarray(x), axis=1, keepdims=True))
+    np.testing.assert_array_equal(m_j, m_t)
+
+
+def test_ssim_identity_and_range(rng):
+    x = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    loss_same = np.asarray(ssim_loss(x, x)).mean()
+    assert abs(loss_same) < 1e-6
+    y = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    loss_diff = np.asarray(ssim_loss(x, y)).mean()
+    assert 0.0 < loss_diff <= 1.0
+
+
+def test_usm_sharp_properties(rng):
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    out = usm_sharp(img)
+    assert out.shape == img.shape
+    out_np = np.asarray(out)
+    assert out_np.min() >= 0.0 and out_np.max() <= 1.0
+    # A flat image is unchanged (no residual anywhere).
+    flat = jnp.full((1, 64, 64, 3), 0.5, jnp.float32)
+    np.testing.assert_allclose(np.asarray(usm_sharp(flat)), 0.5, atol=1e-6)
+    # Sharpening amplifies edges: a step edge must increase local contrast.
+    step = np.zeros((1, 64, 64, 3), np.float32)
+    step[:, :, 32:, :] = 1.0
+    step = step * 0.6 + 0.2
+    sharp = np.asarray(usm_sharp(jnp.asarray(step)))
+    assert sharp[0, 32, 33, 0] - sharp[0, 32, 30, 0] > step[0, 32, 33, 0] - step[0, 32, 30, 0]
