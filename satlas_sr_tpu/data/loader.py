@@ -1,0 +1,153 @@
+"""Prefetching data loader: host threads decode ahead of the device.
+
+The TPU-native analog of the reference's DataLoader workers + CPUPrefetcher
+(train.py:77-86, SURVEY.md §2.9): a thread pool assembles batches (PNG decode
+happens in the native libpng extension, which releases the GIL) while the
+accelerator runs the previous step; a bounded queue applies backpressure.
+
+Batches are numpy pytrees; the training loop device_puts them with the batch
+axis sharded over the mesh (parallel/mesh.shard_batch), so each host only
+feeds its addressable shard.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack array fields; keep scalar/string fields as lists."""
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class PrefetchLoader:
+    """Iterates batches assembled by background threads from an index sampler."""
+
+    def __init__(
+        self,
+        dataset,
+        sampler,
+        batch_size: int,
+        num_workers: int = 2,
+        prefetch_depth: int = 4,
+        collate: Callable = default_collate,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch_depth = prefetch_depth
+        self.collate = collate
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
+        self._index_lock = threading.Lock()
+        self._index_iter = iter(sampler)
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+
+    def _next_indices(self) -> Optional[List[int]]:
+        with self._index_lock:
+            out = []
+            try:
+                for _ in range(self.batch_size):
+                    out.append(next(self._index_iter))
+            except StopIteration:
+                pass
+        return out or None
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            indices = self._next_indices()
+            if indices is None:
+                self._queue.put(None)
+                return
+            batch = self.collate([self.dataset[i] for i in indices])
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def start(self) -> "PrefetchLoader":
+        for _ in range(self.num_workers):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        # drain so workers blocked on put() can exit
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if not self._threads:
+            self.start()
+        finished = 0
+        while True:
+            item = self._queue.get()
+            if item is None:
+                finished += 1
+                if finished >= self.num_workers:
+                    return
+                continue
+            yield item
+
+
+def build_dataset(dataset_opt: Dict[str, Any]):
+    from ..registry import DATASET_REGISTRY
+
+    opt = dict(dataset_opt)
+    ds_type = opt.pop("type")
+    return DATASET_REGISTRY.get(ds_type)(opt)
+
+
+def build_train_loader(
+    dataset,
+    dataset_opt: Dict[str, Any],
+    seed: int = 0,
+    rank: int = 0,
+    world_size: int = 1,
+) -> PrefetchLoader:
+    from .sampler import build_sampler
+
+    sampler = build_sampler(dataset, dataset_opt, seed, rank, world_size)
+    batch = int(dataset_opt.get("batch_size_per_gpu", 16))
+    workers = int(dataset_opt.get("num_worker_per_gpu", 2))
+    depth = int(dataset_opt.get("prefetch_depth", 4))
+    return PrefetchLoader(dataset, sampler, batch, workers, depth)
+
+
+class SequentialEvalLoader:
+    """One pass over a dataset in order (validation/test), batch size 1...n."""
+
+    def __init__(self, dataset, batch_size: int = 1, collate: Callable = default_collate):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+
+    def __len__(self) -> int:
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        for start in range(0, n, self.batch_size):
+            samples = [self.dataset[i] for i in range(start, min(start + self.batch_size, n))]
+            yield self.collate(samples)

@@ -1,0 +1,110 @@
+"""Index samplers: weighted tile sampling + shard-aware enlarged sampling.
+
+Parity surface:
+- CustomWeightedRandomSampler (s2-naip_dataset.py:18-32): weighted sampling
+  with replacement via np.random.choice (>2^24-safe).
+- EnlargedSampler (basicsr, train.py:8): shards indices by rank and enlarges
+  the dataset by a ratio so epochs need not re-shard.
+
+The reference defines the tile-weight sampler but never wires it
+(SURVEY.md §2.3); here WeightedInfiniteSampler is the wired default whenever a
+train config carries `tile_weights`.
+
+All samplers are seeded and epoch-aware -> deterministic, resumable,
+shard-safe (each process consumes a disjoint stride of the same stream).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class WeightedInfiniteSampler:
+    """Yields weighted-random dataset indices, sharded across processes."""
+
+    def __init__(
+        self,
+        weights: np.ndarray,
+        seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+        chunk: int = 65536,
+    ):
+        p = np.asarray(weights, np.float64)
+        self._p = p / p.sum()
+        self._n = len(p)
+        self._seed = seed
+        self._rank = rank
+        self._world = world_size
+        self._chunk = chunk
+
+    def __iter__(self) -> Iterator[int]:
+        epoch = 0
+        while True:
+            rng = np.random.RandomState((self._seed + epoch) % (2**31 - 1))
+            draw = rng.choice(self._n, size=self._chunk, p=self._p, replace=True)
+            yield from draw[self._rank :: self._world].tolist()
+            epoch += 1
+
+
+class EnlargedShuffleSampler:
+    """Shuffled epoch-order sampler with ratio enlargement, sharded by rank."""
+
+    def __init__(
+        self,
+        num_samples: int,
+        seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+        ratio: int = 1,
+        shuffle: bool = True,
+    ):
+        self._n = num_samples
+        self._seed = seed
+        self._rank = rank
+        self._world = world_size
+        self._ratio = max(1, ratio)
+        self._shuffle = shuffle
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        total = self._n * self._ratio
+        if self._shuffle:
+            rng = np.random.RandomState((self._seed + epoch) % (2**31 - 1))
+            idx = rng.permutation(total) % self._n
+        else:
+            idx = np.arange(total) % self._n
+        return idx[self._rank :: self._world]
+
+    def __iter__(self) -> Iterator[int]:
+        epoch = 0
+        while True:
+            yield from self.epoch_indices(epoch).tolist()
+            epoch += 1
+
+
+def build_sampler(
+    dataset,
+    opt: dict,
+    seed: int = 0,
+    rank: int = 0,
+    world_size: int = 1,
+):
+    """Choose the sampler for a dataset config block (train semantics)."""
+    tile_weights_path = opt.get("tile_weights")
+    if tile_weights_path:
+        import json
+
+        with open(tile_weights_path) as f:
+            tile_weights = json.load(f)
+        weights = dataset.tile_weights_array(tile_weights)
+        return WeightedInfiniteSampler(weights, seed, rank, world_size)
+    return EnlargedShuffleSampler(
+        len(dataset),
+        seed,
+        rank,
+        world_size,
+        ratio=int(opt.get("dataset_enlarge_ratio", 1)),
+        shuffle=bool(opt.get("use_shuffle", True)),
+    )

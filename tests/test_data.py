@@ -1,0 +1,169 @@
+"""Dataset + sampler + loader tests on a synthetic S2-NAIP tree.
+
+The on-disk format is fully specified at reference README.md:96-113:
+naip/{tile}/{chip}/{chip}.png style trees and sentinel2/{chip}/{band}.png
+flat time-series pngs.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from satlas_sr_tpu.data import (
+    EnlargedShuffleSampler,
+    PrefetchLoader,
+    S2NAIPDataset,
+    WeightedInfiniteSampler,
+    build_sampler,
+    build_train_loader,
+    has_black_pixels,
+)
+from satlas_sr_tpu.utils.imgio import write_png
+
+
+def _make_tree(root, rng, chips=4, frames=6, bad_chip=None, bands=("tci",)):
+    naip_dir = root / "naip"
+    s2_dir = root / "sentinel2"
+    for c in range(chips):
+        chip = f"{1000 + c}_{2000 + c}"
+        naip = (rng.rand(128, 128, 3) * 254 + 1).astype(np.uint8)
+        if bad_chip == c:
+            naip[5, 5] = 0  # black pixel -> rejected at load time
+        write_png(str(naip_dir / chip / f"{chip}.png"), naip)
+        for band in bands:
+            ch = 3 if band == "tci" else 1
+            img = (rng.rand(frames * 32, 32, ch) * 254 + 1).astype(np.uint8)
+            write_png(str(s2_dir / chip / f"{band}.png"), img)
+    return str(s2_dir), str(naip_dir)
+
+
+def _opt(s2, naip, **kw):
+    base = {
+        "phase": "train",
+        "sentinel2_path": s2,
+        "naip_path": naip,
+        "n_s2_images": 4,
+        "scale": 4,
+    }
+    base.update(kw)
+    return base
+
+
+def test_dataset_basic_shapes(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = S2NAIPDataset(_opt(s2, naip))
+    assert len(ds) == 4
+    sample = ds[0]
+    assert sample["hr"].shape == (128, 128, 3)
+    assert sample["lr"].shape == (32, 32, 12)  # 4 frames * 3 ch, channel-stacked
+    assert sample["Phase"] == "train"
+    assert "_" in sample["Chip"]
+
+
+def test_dataset_use_3d(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = S2NAIPDataset(_opt(s2, naip, use_3d=True))
+    assert ds[1]["lr"].shape == (4, 32, 32, 3)
+
+
+def test_dataset_skips_black_naip(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng, bad_chip=1)
+    ds = S2NAIPDataset(_opt(s2, naip))
+    sample = ds[1]  # advances past the black chip
+    assert sample["Index"] != 1 or not has_black_pixels(sample["hr"])
+    assert not has_black_pixels(sample["hr"])
+
+
+def test_dataset_multiband_and_missing_band(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng, bands=("tci", "b05", "b06"))
+    # remove one band file for chip 0 -> zero-filled
+    removed = None
+    for chip in sorted(os.listdir(s2)):
+        removed = os.path.join(s2, chip, "b06.png")
+        os.remove(removed)
+        break
+    ds = S2NAIPDataset(_opt(s2, naip, s2_bands=["b05", "tci", "b06"]))
+    sample = ds[0]
+    # tci forced first: channels per frame = 3 + 1 + 1
+    assert sample["lr"].shape == (32, 32, 4 * 5)
+    zero_band = sample["lr"][..., 4]  # frame0: [tci, tci, tci, b05, b06]
+    assert zero_band.sum() == 0
+
+
+def test_dataset_rand_crop(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = S2NAIPDataset(_opt(s2, naip, rand_crop=True))
+    sample = ds[0]
+    assert sample["hr"].shape == (128, 128, 3)
+    assert sample["lr"].shape == (32, 32, 12)
+
+
+def test_dataset_deterministic_per_epoch(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = S2NAIPDataset(_opt(s2, naip))
+    a = ds[2]["lr"].copy()
+    b = ds[2]["lr"].copy()
+    np.testing.assert_array_equal(a, b)
+    ds.set_epoch(1)
+    # stream changes across epochs (frame sampling differs with 6C4 choices)
+    c = ds[2]["lr"].copy()
+    assert not np.array_equal(a, c) or True  # may coincide; just must not crash
+
+
+def test_weighted_sampler_distribution():
+    weights = np.array([1.0, 0.0, 3.0, 0.0])
+    s = WeightedInfiniteSampler(weights, seed=0)
+    it = iter(s)
+    draws = [next(it) for _ in range(2000)]
+    counts = np.bincount(draws, minlength=4)
+    assert counts[1] == 0 and counts[3] == 0
+    assert 0.6 < counts[2] / max(counts[0], 1) / 3.0 < 1.4
+
+
+def test_weighted_sampler_sharding():
+    weights = np.ones(10)
+    a = [x for _, x in zip(range(100), iter(WeightedInfiniteSampler(weights, 7, rank=0, world_size=2)))]
+    b = [x for _, x in zip(range(100), iter(WeightedInfiniteSampler(weights, 7, rank=1, world_size=2)))]
+    full = [x for _, x in zip(range(200), iter(WeightedInfiniteSampler(weights, 7)))]
+    assert a == full[0::2][:100]
+    assert b == full[1::2][:100]
+
+
+def test_enlarged_sampler_covers_all():
+    s = EnlargedShuffleSampler(8, seed=0, ratio=2, shuffle=True)
+    idx = s.epoch_indices(0)
+    assert len(idx) == 16
+    assert set(idx.tolist()) == set(range(8))
+
+
+def test_tile_weight_sampler_is_wired(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = S2NAIPDataset(_opt(s2, naip))
+    chips = [os.path.basename(dp[0])[:-4] for dp in ds.datapoints]
+    tw = {chips[0]: 100.0}
+    tw_path = tmp_path / "weights.json"
+    with open(tw_path, "w") as f:
+        json.dump(tw, f)
+    sampler = build_sampler(ds, {"tile_weights": str(tw_path)}, seed=0)
+    assert isinstance(sampler, WeightedInfiniteSampler)
+    draws = [x for _, x in zip(range(500), iter(sampler))]
+    # chip 0 has weight 100 vs 1 for the rest -> dominates draws
+    assert np.bincount(draws, minlength=4)[0] > 400
+
+
+def test_prefetch_loader_batches(tmp_path, rng):
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = S2NAIPDataset(_opt(s2, naip))
+    loader = build_train_loader(
+        ds, {"batch_size_per_gpu": 2, "num_worker_per_gpu": 2, "use_shuffle": True}, seed=0
+    )
+    it = iter(loader)
+    batch = next(it)
+    assert batch["hr"].shape == (2, 128, 128, 3)
+    assert batch["lr"].shape == (2, 32, 32, 12)
+    assert len(batch["Chip"]) == 2
+    batch2 = next(it)
+    assert batch2["hr"].shape == (2, 128, 128, 3)
+    loader.stop()
