@@ -129,7 +129,12 @@ def build_train_loader(
     from .sampler import build_sampler
 
     sampler = build_sampler(dataset, dataset_opt, seed, rank, world_size)
-    batch = int(dataset_opt.get("batch_size_per_gpu", 16))
+    # batch_size_per_gpu is per-DEVICE (reference: per-GPU, README.md:159);
+    # each host feeds batch_size_per_gpu * local_device_count samples, sharded
+    # over the mesh, preserving the reference's global batch semantics.
+    import jax
+
+    batch = int(dataset_opt.get("batch_size_per_gpu", 16)) * jax.local_device_count()
     workers = int(dataset_opt.get("num_worker_per_gpu", 2))
     depth = int(dataset_opt.get("prefetch_depth", 4))
     return PrefetchLoader(dataset, sampler, batch, workers, depth)

@@ -1,0 +1,230 @@
+"""Base trainer: optimizer/scheduler/EMA machinery, checkpointing, validation.
+
+The TPU-native replacement for basicsr's BaseModel/SRModel surface the
+reference builds on (SURVEY.md §2.9): network build + weight load,
+Adam + MultiStepLR(+warmup) schedules, EMA, `save(epoch, iter)` to
+models/net_{g,d}_{iter} + training_states/{iter}.state, `resume_training`,
+and the nondist validation loop (save pngs, metric averaging, best tracking).
+
+Functional design: ALL mutable training state (params, EMA, optimizer states,
+spectral-norm vectors, step) lives in one PyTree (`self.state`) threaded
+through a single jitted, donated train step. Parameters are replicated over
+the data mesh; batches are sharded on axis 0; any mean computed inside the
+step is global (XLA inserts the cross-device reductions — the reference's
+`reduce_loss_dict` all-reduce for free).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..metrics import calculate_metric
+from ..parallel.mesh import data_mesh, is_main_process, replicate_tree, shard_batch
+from ..utils.checkpoint import load_network_variables, load_pytree, save_pytree
+from ..utils.imgio import write_png
+from ..utils.logger import get_root_logger
+
+
+def multistep_lr(base_lr: float, milestones, gamma: float, warmup_iter: int = -1) -> Callable:
+    """basicsr MultiStepLR + linear warmup as an optax-style schedule."""
+    ms = np.sort(np.asarray(milestones or [], dtype=np.int64))
+
+    def schedule(step):
+        factor = jnp.power(gamma, jnp.sum(step >= jnp.asarray(ms))) if len(ms) else 1.0
+        lr = base_lr * factor
+        if warmup_iter > 0:
+            lr = jnp.where(step < warmup_iter, base_lr * step / warmup_iter, lr)
+        return lr
+
+    return schedule
+
+
+def build_optimizer(optim_opt: Dict[str, Any], schedule: Callable):
+    opt_type = optim_opt.get("type", "Adam")
+    betas = optim_opt.get("betas", [0.9, 0.999])
+    wd = float(optim_opt.get("weight_decay", 0) or 0)
+    if opt_type in ("Adam", "AdamW"):
+        if wd > 0:
+            return optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+        return optax.adam(schedule, b1=betas[0], b2=betas[1])
+    if opt_type == "SGD":
+        return optax.sgd(schedule, momentum=optim_opt.get("momentum", 0.0))
+    raise ValueError(f"Unsupported optimizer {opt_type!r}")
+
+
+def ema_update(ema: Any, params: Any, decay: float) -> Any:
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
+
+
+def to_uint8(img_float: jax.Array) -> jax.Array:
+    """[0,1] float NHWC -> uint8, on device (tensor2img analog)."""
+    return (jnp.clip(img_float.astype(jnp.float32), 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+class BaseModel:
+    """Shared trainer plumbing; concrete models provide the jitted steps."""
+
+    def __init__(self, opt: Dict[str, Any]):
+        self.opt = opt
+        self.logger = get_root_logger()
+        self.mesh = data_mesh()
+        self.state: Dict[str, Any] = {}
+        self.best_metric_results: Dict[str, Dict] = {}
+        self.metric_results: Dict[str, float] = {}
+        train_opt = opt.get("train") or {}
+        self._schedules: List[Callable] = []
+        self.ema_decay = float(train_opt.get("ema_decay", 0) or 0)
+
+    # -- schedule / optimizer helpers ---------------------------------------
+
+    def make_schedule(self, optim_opt: Dict[str, Any]) -> Callable:
+        train_opt = self.opt["train"]
+        sched_opt = train_opt.get("scheduler") or {}
+        sched_type = sched_opt.get("type", "MultiStepLR")
+        if sched_type not in ("MultiStepLR", "MultiStepRestartLR"):
+            raise ValueError(f"Unsupported scheduler {sched_type!r}")
+        schedule = multistep_lr(
+            float(optim_opt["lr"]),
+            sched_opt.get("milestones", []),
+            float(sched_opt.get("gamma", 0.5)),
+            int(train_opt.get("warmup_iter", -1) or -1),
+        )
+        self._schedules.append(schedule)
+        return schedule
+
+    def get_current_learning_rate(self) -> List[float]:
+        step = int(self.state.get("step", 0))
+        return [float(s(step)) for s in self._schedules]
+
+    # -- state placement -----------------------------------------------------
+
+    def replicate_state(self) -> None:
+        self.state = replicate_tree(self.mesh, self.state)
+
+    def shard(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        return shard_batch(self.mesh, batch)
+
+    # -- checkpointing (SURVEY.md §5.4 cadence/semantics) --------------------
+
+    def _net_path(self, net: str, current_iter) -> str:
+        tag = "latest" if current_iter == -1 else str(current_iter)
+        return os.path.join(self.opt["path"]["models"], f"net_{net}_{tag}.msgpack")
+
+    def network_checkpoints(self) -> Dict[str, Dict[str, Any]]:
+        """name -> variables dicts to persist. Override in subclasses."""
+        raise NotImplementedError
+
+    def save(self, epoch: int, current_iter: int) -> None:
+        if not is_main_process():
+            return
+        host_state = jax.device_get(self.state)
+        for net, variables in self.network_checkpoints().items():
+            save_pytree(self._net_path(net, current_iter), jax.device_get(variables))
+        tag = "latest" if current_iter == -1 else str(current_iter)
+        state_path = os.path.join(self.opt["path"]["training_states"], f"{tag}.state")
+        save_pytree(state_path, {"epoch": epoch, "iter": current_iter, "state": host_state})
+
+    def resume_training(self, state_path: str) -> Dict[str, int]:
+        blob = load_pytree(state_path, {"epoch": 0, "iter": 0, "state": jax.device_get(self.state)})
+        self.state = blob["state"]
+        self.replicate_state()
+        return {"epoch": int(blob["epoch"]), "iter": int(blob["iter"])}
+
+    def load_pretrained(self, net_key: str = "network_g", path_key: str = "pretrain_network_g"):
+        """Load pretrained generator/discriminator weights if configured."""
+        path_opt = self.opt.get("path") or {}
+        load_path = path_opt.get(path_key)
+        if not load_path:
+            return None
+        arch_type = self.opt[net_key]["type"]
+        param_key = path_opt.get(
+            "param_key_g" if net_key == "network_g" else "param_key_d",
+            "params_ema" if net_key == "network_g" else "params",
+        )
+        self.logger.info(f"Loading {net_key} from {load_path} (key={param_key})")
+        return load_network_variables(arch_type, load_path, self.opt[net_key], param_key)
+
+    # -- validation (reference nondist_validation pattern) -------------------
+
+    def eval_outputs(self, batch: Dict[str, Any]) -> np.ndarray:
+        """Run the eval forward; returns uint8 NHWC. Implemented by subclasses."""
+        raise NotImplementedError
+
+    def _metrics2run(self, dataset_name: str) -> Optional[Dict[str, Any]]:
+        section = "test" if dataset_name == "test" else "val"
+        sec = self.opt.get(section) or {}
+        return sec.get("metrics")
+
+    def validation(self, loader, current_iter, tb_logger=None, save_img: bool = False,
+                   dataset_name: Optional[str] = None) -> Dict[str, float]:
+        dataset_name = dataset_name or loader.dataset.opt.get("name", "validation")
+        metrics2run = self._metrics2run(dataset_name)
+        if metrics2run:
+            if dataset_name not in self.best_metric_results:
+                rec = {}
+                for metric, content in metrics2run.items():
+                    better = content.get("better", "higher")
+                    rec[metric] = {
+                        "better": better,
+                        "val": float("-inf") if better == "higher" else float("inf"),
+                        "iter": -1,
+                    }
+                self.best_metric_results[dataset_name] = rec
+            self.metric_results = {m: 0.0 for m in metrics2run}
+
+        count = 0
+        for batch in loader:
+            sr_uint8 = self.eval_outputs(batch)  # [B, H, W, 3] uint8
+            gt = batch.get("hr")
+            for b in range(sr_uint8.shape[0]):
+                img_name = str(count)
+                sr_img = sr_uint8[b]
+                if save_img and is_main_process():
+                    if self.opt.get("is_train"):
+                        path = os.path.join(self.opt["path"]["visualization"], img_name,
+                                            f"{img_name}_{current_iter}.png")
+                    else:
+                        path = os.path.join(self.opt["path"]["visualization"], dataset_name,
+                                            f"{img_name}_{self.opt['name']}.png")
+                    write_png(path, sr_img)
+                if gt is not None and metrics2run:
+                    gt_img = np.asarray(gt[b])
+                    if save_img and is_main_process() and not self.opt.get("is_train"):
+                        path = os.path.join(self.opt["path"]["visualization"], dataset_name,
+                                            f"{img_name}_{self.opt['name']}_gt.png")
+                        write_png(path, gt_img)
+                    data = {"img": sr_img, "img2": gt_img}
+                    for name, m_opt in metrics2run.items():
+                        try:
+                            self.metric_results[name] += calculate_metric(data, m_opt)
+                        except Exception as e:  # metric tower unavailable etc.
+                            self.logger.warning(f"metric {name} failed: {e}")
+                count += 1
+
+        if metrics2run and count:
+            for metric in self.metric_results:
+                self.metric_results[metric] /= count
+                rec = self.best_metric_results[dataset_name][metric]
+                val = self.metric_results[metric]
+                if (rec["better"] == "higher" and val >= rec["val"]) or (
+                    rec["better"] == "lower" and val <= rec["val"]
+                ):
+                    rec["val"], rec["iter"] = val, current_iter
+            self._log_validation_metrics(current_iter, dataset_name, tb_logger)
+        return dict(self.metric_results)
+
+    def _log_validation_metrics(self, current_iter, dataset_name, tb_logger):
+        msg = f"Validation [{dataset_name}]\n"
+        for metric, value in self.metric_results.items():
+            rec = self.best_metric_results[dataset_name][metric]
+            msg += f"\t # {metric}: {value:.4f}\tBest: {rec['val']:.4f} @ {rec['iter']} iter\n"
+        self.logger.info(msg)
+        if tb_logger is not None:
+            for metric, value in self.metric_results.items():
+                tb_logger.add_scalar(f"metrics/{dataset_name}/{metric}", value, current_iter if isinstance(current_iter, int) else 0)

@@ -1,0 +1,324 @@
+"""ESRGAN GAN trainer: generator + U-Net SN discriminator, one jitted step.
+
+Capability parity with ssr/models/ssr_esrgan_model.py:
+- USM-sharpened GT with per-loss selection flags l1_gt_usm / percep_gt_usm /
+  gan_gt_usm (lines 119-129); sharpening runs on device inside the step
+- x4-upsampled LR conditioning and/or old-NAIP conditioning concatenated onto
+  the discriminator input (lines 131-133, 168-178, 199-213)
+- G losses: L1 pixel + VGG perceptual (+ optional SSIM, CLIP) + vanilla GAN,
+  gated by net_d_iters / net_d_init_iters (lines 144-193)
+- D step: real + fake BCE on per-pixel logits (lines 215-228)
+- EMA of the generator every iteration (lines 230-231)
+- loss dict means are global across devices (reduce_loss_dict parity, line 233)
+
+TPU-native structure: generator forward/backward, discriminator
+forward/backward, spectral-norm power iterations, EMA and both optimizer
+updates compose into ONE compiled XLA program over the sharded batch. The
+G-update gating is a lax.cond whose skip branch still runs the plain G forward
+(the reference computes self.output before the gate) so the D step always sees
+the current generator output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..archs import build_arch
+from ..losses import build_loss
+from ..losses.basic import gan_loss as build_gan
+from ..ops.resize import upsample_nearest
+from ..ops.usm import usm_sharp
+from ..registry import MODEL_REGISTRY
+from .base import BaseModel, build_optimizer, ema_update, to_uint8
+
+
+@MODEL_REGISTRY.register("SSRESRGANModel")
+class ESRGANModel(BaseModel):
+    def __init__(self, opt: Dict[str, Any]):
+        super().__init__(opt)
+        train = bool(opt.get("is_train"))
+        self.scale = int(opt.get("scale", 4))
+
+        g_opt = dict(opt["network_g"])
+        self.n_frames = None
+        # Reference configs carry stale num_in_ch (SURVEY.md §5.6); derive the
+        # real channel count from the train dataset's n_s2_images * bands.
+        ds_train = (opt.get("datasets") or {}).get("train") or {}
+        if ds_train:
+            n_imgs = int(ds_train.get("n_s2_images", 8))
+            bands = ds_train.get("s2_bands") or ["tci"]
+            ch = 3 + (len(bands) - 1)
+            derived = n_imgs * ch
+            if int(g_opt.get("num_in_ch", derived)) != derived:
+                self.logger.warning(
+                    f"network_g.num_in_ch={g_opt.get('num_in_ch')} inconsistent with "
+                    f"dataset (n_s2_images*channels={derived}); using {derived}."
+                )
+            g_opt["num_in_ch"] = derived
+            self.n_frames = n_imgs
+        self.num_in_ch = int(g_opt["num_in_ch"])
+        self.net_g = build_arch(g_opt)
+
+        self.feed_disc_lr = bool(opt.get("feed_disc_lr", False))
+        self.has_old_hr = bool(
+            ((opt.get("datasets") or {}).get("train") or {}).get("old_naip_path")
+        )
+        self.l1_gt_usm = bool(opt.get("l1_gt_usm", True))
+        self.percep_gt_usm = bool(opt.get("percep_gt_usm", True))
+        self.gan_gt_usm = bool(opt.get("gan_gt_usm", False))
+
+        rng = jax.random.PRNGKey(int(opt.get("manual_seed", 0) or 0))
+        example = jnp.zeros((1, 32, 32, self.num_in_ch), jnp.float32)
+        params_g = self.net_g.init(rng, example)["params"]
+        pre_g = self.load_pretrained("network_g", "pretrain_network_g")
+        if pre_g is not None:
+            params_g = pre_g["params"]
+
+        self.state: Dict[str, Any] = {"step": jnp.zeros((), jnp.int32), "g": {"params": params_g}}
+
+        if train:
+            train_opt = opt["train"]
+            d_opt = dict(opt["network_d"])
+            disc_in = 3 + (self.num_in_ch if self.feed_disc_lr else 0) + (3 if self.has_old_hr else 0)
+            if int(d_opt.get("num_in_ch", disc_in)) != disc_in:
+                self.logger.warning(
+                    f"network_d.num_in_ch={d_opt.get('num_in_ch')} inconsistent with "
+                    f"conditioning flags; using {disc_in}."
+                )
+            d_opt["num_in_ch"] = disc_in
+            self.net_d = build_arch(d_opt)
+            d_example = jnp.zeros((1, 32 * self.scale, 32 * self.scale, disc_in), jnp.float32)
+            d_vars = self.net_d.init(rng, d_example, *self._extra_d_init_args())
+            params_d, spectral = d_vars["params"], d_vars.get("spectral", {})
+            pre_d = self.load_pretrained("network_d", "pretrain_network_d")
+            if pre_d is not None:
+                params_d = pre_d["params"]
+                spectral = pre_d.get("spectral", spectral)
+
+            self.cri_pix = build_loss(train_opt["pixel_opt"]) if train_opt.get("pixel_opt") else None
+            self.cri_perceptual = (
+                build_loss(train_opt["perceptual_opt"]) if train_opt.get("perceptual_opt") else None
+            )
+            self.cri_gan = (
+                build_loss(train_opt["gan_opt"]) if train_opt.get("gan_opt") else build_gan()
+            )
+            self.ssim_loss = build_loss(train_opt["ssim_opt"]) if train_opt.get("ssim_opt") else None
+            self.clip_sim = build_loss(train_opt["clip_opt"]) if train_opt.get("clip_opt") else None
+            self.net_d_iters = int(train_opt.get("net_d_iters", 1))
+            self.net_d_init_iters = int(train_opt.get("net_d_init_iters", 0))
+
+            optim_g = train_opt["optim_g"]
+            optim_d = train_opt["optim_d"]
+            self.tx_g = build_optimizer(optim_g, self.make_schedule(optim_g))
+            self.tx_d = build_optimizer(optim_d, self.make_schedule(optim_d))
+
+            self.state["g"]["opt"] = self.tx_g.init(params_g)
+            self.state["d"] = {
+                "params": params_d,
+                "spectral": spectral,
+                "opt": self.tx_d.init(params_d),
+            }
+            if self.ema_decay > 0:
+                self.state["ema"] = jax.tree.map(jnp.array, params_g)
+            self._train_step = self._build_train_step()
+        else:
+            if self.ema_decay >= 0 and pre_g is not None and "params_ema" in pre_g:
+                self.state["ema"] = pre_g["params_ema"]
+
+        self.replicate_state()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------ steps
+
+    def _extra_d_init_args(self):
+        """Extra example args for net_d.init (object crops for the OSM variant)."""
+        return ()
+
+    def _disc_input(self, img, lr_resized, old_hr):
+        parts = [img]
+        if self.feed_disc_lr:
+            parts.append(lr_resized)
+        if self.has_old_hr and old_hr is not None:
+            parts.append(old_hr)
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else img
+
+    def _build_train_step(self):
+        net_g, net_d = self.net_g, self.net_d
+        tx_g, tx_d = self.tx_g, self.tx_d
+        cri_pix, cri_perceptual = self.cri_pix, self.cri_perceptual
+        cri_gan, ssim_loss, clip_sim = self.cri_gan, self.ssim_loss, self.clip_sim
+        ema_decay = self.ema_decay
+        net_d_iters, net_d_init_iters = self.net_d_iters, self.net_d_init_iters
+        scale = self.scale
+
+        def step(state, lr_u8, hr_u8, old_hr_u8):
+            current_iter = state["step"] + 1
+            lr = lr_u8.astype(jnp.float32) / 255.0
+            gt = hr_u8.astype(jnp.float32) / 255.0
+            old_hr = (
+                old_hr_u8.astype(jnp.float32) / 255.0 if old_hr_u8 is not None else None
+            )
+            gt_usm = usm_sharp(gt)
+            l1_gt = gt_usm if self.l1_gt_usm else gt
+            percep_gt = gt_usm if self.percep_gt_usm else gt
+            gan_gt = gt_usm if self.gan_gt_usm else gt
+            lr_resized = upsample_nearest(lr, scale)
+
+            g_params, g_opt = state["g"]["params"], state["g"]["opt"]
+            d_params, spectral = state["d"]["params"], state["d"]["spectral"]
+
+            do_g = jnp.logical_and(
+                current_iter % net_d_iters == 0, current_iter > net_d_init_iters
+            )
+
+            def g_update(_):
+                def loss_fn(p):
+                    out = net_g.apply({"params": p}, lr)
+                    total = jnp.zeros((), jnp.float32)
+                    logs = {}
+                    if cri_pix is not None:
+                        l_pix = cri_pix(out, l1_gt)
+                        total += l_pix
+                        logs["l_g_pix"] = l_pix
+                    if cri_perceptual is not None:
+                        l_percep, l_style = cri_perceptual(out, percep_gt)
+                        if l_percep is not None:
+                            total += l_percep
+                            logs["l_g_percep"] = l_percep
+                        if l_style is not None:
+                            total += l_style
+                            logs["l_g_style"] = l_style
+                    if ssim_loss is not None:
+                        l_ssim = ssim_loss(out, percep_gt)
+                        total += l_ssim
+                        logs["l_g_ssim"] = l_ssim
+                    disc_in = self._disc_input(out, lr_resized, old_hr)
+                    fake_pred, mut = net_d.apply(
+                        {"params": d_params, "spectral": spectral},
+                        disc_in, update_stats=True, mutable=["spectral"],
+                    )
+                    l_gan = cri_gan(fake_pred, True, is_disc=False)
+                    total += l_gan
+                    logs["l_g_gan"] = l_gan
+                    if clip_sim is not None:
+                        l_clip = clip_sim(out, l1_gt)
+                        total += l_clip
+                        logs["l_clip_sim"] = l_clip
+                    return total, (logs, out, mut["spectral"])
+
+                grads, (logs, out, new_spectral) = jax.grad(loss_fn, has_aux=True)(g_params)
+                updates, new_opt = tx_g.update(grads, g_opt, g_params)
+                new_params = jax.tree.map(lambda a, b: a + b, g_params, updates)
+                return new_params, new_opt, out, new_spectral, logs
+
+            def g_skip(_):
+                out = net_g.apply({"params": g_params}, lr)
+                zero_logs = {
+                    k: jnp.zeros((), jnp.float32)
+                    for k in self._g_log_keys()
+                }
+                return g_params, g_opt, out, spectral, zero_logs
+
+            new_g_params, new_g_opt, output, spectral1, g_logs = jax.lax.cond(
+                do_g, g_update, g_skip, operand=None
+            )
+
+            # --- discriminator step (real then fake, summed grads) ---
+            real_in = self._disc_input(gan_gt, lr_resized, old_hr)
+            fake_in = self._disc_input(jax.lax.stop_gradient(output), lr_resized, old_hr)
+
+            def d_loss_fn(p):
+                real_pred, mut1 = net_d.apply(
+                    {"params": p, "spectral": spectral1}, real_in,
+                    update_stats=True, mutable=["spectral"],
+                )
+                l_d_real = cri_gan(real_pred, True, is_disc=True)
+                fake_pred, mut2 = net_d.apply(
+                    {"params": p, "spectral": mut1["spectral"]}, fake_in,
+                    update_stats=True, mutable=["spectral"],
+                )
+                l_d_fake = cri_gan(fake_pred, False, is_disc=True)
+                logs = {
+                    "l_d_real": l_d_real,
+                    "l_d_fake": l_d_fake,
+                    "out_d_real": jnp.mean(real_pred),
+                    "out_d_fake": jnp.mean(fake_pred),
+                }
+                return l_d_real + l_d_fake, (logs, mut2["spectral"])
+
+            d_grads, (d_logs, new_spectral) = jax.grad(d_loss_fn, has_aux=True)(d_params)
+            d_updates, new_d_opt = tx_d.update(d_grads, state["d"]["opt"], d_params)
+            new_d_params = jax.tree.map(lambda a, b: a + b, d_params, d_updates)
+
+            new_state = {
+                "step": current_iter,
+                "g": {"params": new_g_params, "opt": new_g_opt},
+                "d": {"params": new_d_params, "spectral": new_spectral, "opt": new_d_opt},
+            }
+            if "ema" in state:
+                new_state["ema"] = ema_update(state["ema"], new_g_params, ema_decay)
+            logs = {**g_logs, **d_logs}
+            return new_state, logs
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _g_log_keys(self):
+        keys = []
+        if self.cri_pix is not None:
+            keys.append("l_g_pix")
+        if self.cri_perceptual is not None:
+            keys.append("l_g_percep")
+        if self.ssim_loss is not None:
+            keys.append("l_g_ssim")
+        keys.append("l_g_gan")
+        if self.clip_sim is not None:
+            keys.append("l_clip_sim")
+        return keys
+
+    def _build_eval_step(self):
+        net_g = self.net_g
+        precision = str(self.opt.get("matmul_precision", "highest"))
+
+        @jax.jit
+        def step(params, lr_u8):
+            with jax.default_matmul_precision(precision):
+                lr = lr_u8.astype(jnp.float32) / 255.0
+                out = net_g.apply({"params": params}, lr)
+                return to_uint8(out)
+
+        return step
+
+    # ----------------------------------------------------------------- driver
+
+    def train_iter(self, batch: Dict[str, Any], current_iter: int) -> Dict[str, float]:
+        lr = self.shard(batch["lr"])
+        hr = self.shard(batch["hr"])
+        old_hr = self.shard(batch["old_hr"]) if self.has_old_hr and "old_hr" in batch else None
+        self.state, logs = self._train_step(self.state, lr, hr, old_hr)
+        self.log_dict = {k: float(v) for k, v in jax.device_get(logs).items()}
+        return self.log_dict
+
+    def eval_params(self):
+        return self.state.get("ema", self.state["g"]["params"])
+
+    def eval_outputs(self, batch: Dict[str, Any]) -> np.ndarray:
+        out = self._eval_step(self.eval_params(), jnp.asarray(batch["lr"]))
+        return np.asarray(out)
+
+    def network_checkpoints(self) -> Dict[str, Dict[str, Any]]:
+        nets = {
+            "g": {
+                "params": self.state["g"]["params"],
+                "params_ema": self.state.get("ema", self.state["g"]["params"]),
+            }
+        }
+        if "d" in self.state:
+            nets["d"] = {
+                "params": self.state["d"]["params"],
+                "spectral": self.state["d"]["spectral"],
+            }
+        return nets

@@ -1,0 +1,139 @@
+"""L2 model: SRCNN / HighResNet trainer with the WorldStrat loss.
+
+Capability parity with ssr/models/ssr_l2_model.py: hardcoded loss
+0.3*MSE + 0.4*MAE + 0.3*SSIM(window 5) over per-image means
+(ssr_l2_model.py:36-40), logged psnr_loss = 10*log10(MSE) (line 43), output
+squeezes the revisit dim, single Adam + MultiStepLR optimizer.
+
+TPU-native: one jitted, donated train step over the sharded batch; uint8
+batches are normalised on device; dropout RNG is part of the state PyTree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..archs import build_arch
+from ..ops.ssim import ssim_loss as ssim_loss_map
+from ..registry import MODEL_REGISTRY
+from .base import BaseModel, build_optimizer, to_uint8
+
+
+@MODEL_REGISTRY.register("L2Model")
+class L2Model(BaseModel):
+    def __init__(self, opt: Dict[str, Any]):
+        super().__init__(opt)
+        net_opt = dict(opt["network_g"])
+        # YAML blocks carry `revisits`; constructor parity handled by build_arch.
+        self.net_g = build_arch(net_opt)
+        self.use_3d = True  # SRCNN/HighResNet expect [B, T, H, W, C]
+
+        t = int(net_opt.get("revisits", 8))
+        c = int(net_opt.get("in_channels", 3))
+        example = jnp.zeros((1, t, 32, 32, c), jnp.float32)
+        rng = jax.random.PRNGKey(int(opt.get("manual_seed", 0) or 0))
+        variables = self.net_g.init({"params": rng, "dropout": rng}, example)
+        params = variables["params"]
+
+        pretrained = self.load_pretrained()
+        if pretrained is not None:
+            params = pretrained["params"]
+
+        if opt.get("is_train"):
+            optim_opt = opt["train"]["optim_g"]
+            self.tx = build_optimizer(optim_opt, self.make_schedule(optim_opt))
+            opt_state = self.tx.init(params)
+        else:
+            self.tx, opt_state = None, ()
+
+        self.state = {
+            "step": jnp.zeros((), jnp.int32),
+            "params": params,
+            "opt": opt_state,
+            "rng": rng,
+        }
+        self.replicate_state()
+        self._train_step = self._build_train_step() if opt.get("is_train") else None
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------ steps
+
+    def _build_train_step(self):
+        model = self.net_g
+        tx = self.tx
+
+        def step(state, lr_u8, hr_u8):
+            rng, dropout_rng = jax.random.split(state["rng"])
+            lr = lr_u8.astype(jnp.float32) / 255.0
+            hr = hr_u8.astype(jnp.float32) / 255.0
+
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params}, lr, train=True, rngs={"dropout": dropout_rng}
+                )[:, 0]
+                mse_i = jnp.mean(jnp.square(out - hr), axis=(1, 2, 3))
+                mae_i = jnp.mean(jnp.abs(out - hr), axis=(1, 2, 3))
+                ssim_i = jnp.mean(ssim_loss_map(out, hr, window_size=5), axis=(1, 2, 3))
+                loss = jnp.mean(0.3 * mse_i + 0.4 * mae_i + 0.3 * ssim_i)
+                logs = {
+                    "psnr_loss": 10.0 * jnp.log10(jnp.mean(mse_i)),
+                    "mse": jnp.mean(mse_i),
+                    "mae": jnp.mean(mae_i),
+                    "ssim": jnp.mean(ssim_i),
+                    "tot_loss": loss,
+                }
+                return loss, logs
+
+            grads, logs = jax.grad(loss_fn, has_aux=True)(state["params"])
+            updates, new_opt = tx.update(grads, state["opt"], state["params"])
+            new_params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
+            new_state = {
+                "step": state["step"] + 1,
+                "params": new_params,
+                "opt": new_opt,
+                "rng": rng,
+            }
+            return new_state, logs
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        model = self.net_g
+        precision = str(self.opt.get("matmul_precision", "highest"))
+
+        @jax.jit
+        def step(params, lr_u8):
+            with jax.default_matmul_precision(precision):
+                lr = lr_u8.astype(jnp.float32) / 255.0
+                out = model.apply({"params": params}, lr)[:, 0]
+                return to_uint8(out)
+
+        return step
+
+    # ----------------------------------------------------------------- driver
+
+    def _prep_lr(self, lr_np: np.ndarray) -> np.ndarray:
+        if lr_np.ndim == 4:  # channel-stacked -> [B, T, H, W, C]
+            b, h, w, tc = lr_np.shape
+            t = tc // 3
+            lr_np = lr_np.reshape(b, h, w, t, 3).transpose(0, 3, 1, 2, 4)
+        return lr_np
+
+    def train_iter(self, batch: Dict[str, Any], current_iter: int) -> Dict[str, float]:
+        lr = self.shard(self._prep_lr(batch["lr"]))
+        hr = self.shard(batch["hr"])
+        self.state, logs = self._train_step(self.state, lr, hr)
+        self.log_dict = {k: float(v) for k, v in jax.device_get(logs).items()}
+        return self.log_dict
+
+    def eval_outputs(self, batch: Dict[str, Any]) -> np.ndarray:
+        lr = self._prep_lr(np.asarray(batch["lr"]))
+        out = self._eval_step(self.state["params"], jnp.asarray(lr))
+        return np.asarray(out)
+
+    def network_checkpoints(self) -> Dict[str, Dict[str, Any]]:
+        return {"g": {"params": self.state["params"], "params_ema": self.state["params"]}}

@@ -1,0 +1,219 @@
+"""OSM-object ESRGAN: adds an object-level GAN game over OSM crops.
+
+Capability parity with ssr/models/osm_objs_esrgan_model.py: loads
+osm_chips_to_masks.json at init (lines 40-46), collects per-chip object boxes
+for each train batch (134-138), crops each box from GT and generator output
+resized to 32x32 (163-186, incl. the 1-px degenerate-box fix), samples
+n_osm_objs per image (188-200), and adds osm_obj_weight-scaled object GAN
+terms to both G (240-251) and D (282-308) losses via the OSMObjDiscriminator's
+(img_logits, obj_logits) output.
+
+Static shapes: the host samples exactly n_osm_objs boxes per image into a
+[B, K, 4] array; on-device crops use differentiable gather-based bilinear
+sampling (ops/crop.py) so gradients flow into the generator through its crops.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.crop import crop_resize_boxes
+from ..ops.resize import upsample_nearest
+from ..ops.usm import usm_sharp
+from ..registry import MODEL_REGISTRY
+from .base import ema_update
+from .esrgan import ESRGANModel
+
+
+@MODEL_REGISTRY.register("OSMObjESRGANModel")
+class OSMObjESRGANModel(ESRGANModel):
+    def __init__(self, opt: Dict[str, Any]):
+        self.osm_obj_weight = float(opt.get("osm_obj_weight", 0.3))
+        self.n_osm_objs = int(opt.get("n_osm_objs", 1))
+        osm_path = ((opt.get("datasets") or {}).get("train") or {}).get("osm_objs_path")
+        self.osm_obj_data = {}
+        if osm_path:
+            with open(osm_path) as f:
+                self.osm_obj_data = json.load(f)
+        super().__init__(opt)
+
+    def _extra_d_init_args(self):
+        import jax.numpy as jnp
+
+        return (jnp.zeros((1, 32, 32, 3), jnp.float32),)
+
+    def _build_train_step(self):
+        net_g, net_d = self.net_g, self.net_d
+        tx_g, tx_d = self.tx_g, self.tx_d
+        cri_pix, cri_perceptual = self.cri_pix, self.cri_perceptual
+        cri_gan, ssim_loss, clip_sim = self.cri_gan, self.ssim_loss, self.clip_sim
+        ema_decay = self.ema_decay
+        net_d_iters, net_d_init_iters = self.net_d_iters, self.net_d_init_iters
+        scale = self.scale
+        obj_w = self.osm_obj_weight
+
+        def step(state, lr_u8, hr_u8, old_hr_u8, boxes):
+            current_iter = state["step"] + 1
+            lr = lr_u8.astype(jnp.float32) / 255.0
+            gt = hr_u8.astype(jnp.float32) / 255.0
+            old_hr = old_hr_u8.astype(jnp.float32) / 255.0 if old_hr_u8 is not None else None
+            gt_usm = usm_sharp(gt)
+            l1_gt = gt_usm if self.l1_gt_usm else gt
+            percep_gt = gt_usm if self.percep_gt_usm else gt
+            gan_gt = gt_usm if self.gan_gt_usm else gt
+            lr_resized = upsample_nearest(lr, scale)
+
+            g_params, g_opt = state["g"]["params"], state["g"]["opt"]
+            d_params, spectral = state["d"]["params"], state["d"]["spectral"]
+
+            b = gt.shape[0]
+            gt_objs = crop_resize_boxes(gan_gt, boxes).reshape(-1, 32, 32, 3)
+
+            do_g = jnp.logical_and(
+                current_iter % net_d_iters == 0, current_iter > net_d_init_iters
+            )
+
+            def g_update(_):
+                def loss_fn(p):
+                    out = net_g.apply({"params": p}, lr)
+                    gen_objs = crop_resize_boxes(out, boxes).reshape(-1, 32, 32, 3)
+                    total = jnp.zeros((), jnp.float32)
+                    logs = {}
+                    if cri_pix is not None:
+                        l_pix = cri_pix(out, l1_gt)
+                        total += l_pix
+                        logs["l_g_pix"] = l_pix
+                    if cri_perceptual is not None:
+                        l_percep, l_style = cri_perceptual(out, percep_gt)
+                        if l_percep is not None:
+                            total += l_percep
+                            logs["l_g_percep"] = l_percep
+                        if l_style is not None:
+                            total += l_style
+                            logs["l_g_style"] = l_style
+                    if ssim_loss is not None:
+                        l_ssim = ssim_loss(out, percep_gt)
+                        total += l_ssim
+                        logs["l_g_ssim"] = l_ssim
+                    disc_in = self._disc_input(out, lr_resized, old_hr)
+                    (fake_pred, obj_pred), mut = net_d.apply(
+                        {"params": d_params, "spectral": spectral},
+                        disc_in, gen_objs, update_stats=True, mutable=["spectral"],
+                    )
+                    l_gan = cri_gan(fake_pred, True, is_disc=False)
+                    l_gan_objs = obj_w * cri_gan(obj_pred, True, is_disc=False)
+                    total += l_gan + l_gan_objs
+                    logs["l_g_gan"] = l_gan
+                    logs["l_g_gan_objs"] = l_gan_objs
+                    if clip_sim is not None:
+                        l_clip = clip_sim(out, l1_gt)
+                        total += l_clip
+                        logs["l_clip_sim"] = l_clip
+                    return total, (logs, out, gen_objs, mut["spectral"])
+
+                grads, (logs, out, gen_objs, new_spectral) = jax.grad(
+                    loss_fn, has_aux=True
+                )(g_params)
+                updates, new_opt = tx_g.update(grads, g_opt, g_params)
+                new_params = jax.tree.map(lambda a, u: a + u, g_params, updates)
+                return new_params, new_opt, out, gen_objs, new_spectral, logs
+
+            def g_skip(_):
+                out = net_g.apply({"params": g_params}, lr)
+                gen_objs = crop_resize_boxes(out, boxes).reshape(-1, 32, 32, 3)
+                zero_logs = {
+                    k: jnp.zeros((), jnp.float32)
+                    for k in self._g_log_keys() + ["l_g_gan_objs"]
+                }
+                return g_params, g_opt, out, gen_objs, spectral, zero_logs
+
+            new_g_params, new_g_opt, output, gen_objs, spectral1, g_logs = jax.lax.cond(
+                do_g, g_update, g_skip, operand=None
+            )
+
+            real_in = self._disc_input(gan_gt, lr_resized, old_hr)
+            fake_in = self._disc_input(jax.lax.stop_gradient(output), lr_resized, old_hr)
+            gen_objs_sg = jax.lax.stop_gradient(gen_objs)
+
+            def d_loss_fn(p):
+                (real_pred, real_obj), mut1 = net_d.apply(
+                    {"params": p, "spectral": spectral1}, real_in, gt_objs,
+                    update_stats=True, mutable=["spectral"],
+                )
+                l_d_real = cri_gan(real_pred, True, is_disc=True)
+                l_d_real_objs = obj_w * cri_gan(real_obj, True, is_disc=True)
+                (fake_pred, fake_obj), mut2 = net_d.apply(
+                    {"params": p, "spectral": mut1["spectral"]}, fake_in, gen_objs_sg,
+                    update_stats=True, mutable=["spectral"],
+                )
+                l_d_fake = cri_gan(fake_pred, False, is_disc=True)
+                # Reference quirk preserved: fake objects are judged with
+                # target_is_real=True in the D loss (osm_objs_esrgan_model.py:301).
+                l_d_fake_objs = obj_w * cri_gan(fake_obj, True, is_disc=True)
+                logs = {
+                    "l_d_real": l_d_real,
+                    "l_d_fake": l_d_fake,
+                    "l_d_real_objs": l_d_real_objs,
+                    "l_d_fake_objs": l_d_fake_objs,
+                    "out_d_real": jnp.mean(real_pred),
+                    "out_d_fake": jnp.mean(fake_pred),
+                }
+                return l_d_real + l_d_real_objs + l_d_fake + l_d_fake_objs, (
+                    logs, mut2["spectral"],
+                )
+
+            d_grads, (d_logs, new_spectral) = jax.grad(d_loss_fn, has_aux=True)(d_params)
+            d_updates, new_d_opt = tx_d.update(d_grads, state["d"]["opt"], d_params)
+            new_d_params = jax.tree.map(lambda a, u: a + u, d_params, d_updates)
+
+            new_state = {
+                "step": current_iter,
+                "g": {"params": new_g_params, "opt": new_g_opt},
+                "d": {"params": new_d_params, "spectral": new_spectral, "opt": new_d_opt},
+            }
+            if "ema" in state:
+                new_state["ema"] = ema_update(state["ema"], new_g_params, ema_decay)
+            return new_state, {**g_logs, **d_logs}
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    # ----------------------------------------------------------------- driver
+
+    def _sample_boxes(self, chips, rng: np.random.RandomState) -> np.ndarray:
+        """[B, K, 4] int32 (x1, y1, x2, y2) with the 1-px degenerate fix."""
+        batch_boxes = []
+        for chip in chips:
+            objs = []
+            for v in (self.osm_obj_data.get(chip) or {}).values():
+                objs.extend(v)
+            if not objs:
+                objs = [[0, 0, 128, 128]]
+            idx = rng.choice(len(objs), size=self.n_osm_objs,
+                             replace=len(objs) < self.n_osm_objs)
+            picked = []
+            for i in idx:
+                x1, y1, x2, y2 = objs[i]
+                if x1 == x2:
+                    x1, x2 = (x1, x2 + 1) if x2 < 128 else (x1 - 1, x2)
+                if y1 == y2:
+                    y1, y2 = (y1, y2 + 1) if y2 < 128 else (y1 - 1, y2)
+                picked.append([x1, y1, x2, y2])
+            batch_boxes.append(picked)
+        return np.asarray(batch_boxes, np.int32)
+
+    def train_iter(self, batch: Dict[str, Any], current_iter: int) -> Dict[str, float]:
+        rng = np.random.RandomState(
+            (int(self.opt.get("manual_seed", 0) or 0) * 7919 + current_iter) % (2**31 - 1)
+        )
+        boxes = self._sample_boxes(batch["Chip"], rng)
+        lr = self.shard(batch["lr"])
+        hr = self.shard(batch["hr"])
+        old_hr = self.shard(batch["old_hr"]) if self.has_old_hr and "old_hr" in batch else None
+        self.state, logs = self._train_step(self.state, lr, hr, old_hr, self.shard(boxes))
+        self.log_dict = {k: float(v) for k, v in jax.device_get(logs).items()}
+        return self.log_dict

@@ -39,10 +39,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch (pytree of arrays) sharded on axis 0."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
-    )
+    """Device-put a host batch (pytree of arrays) sharded on axis 0.
+
+    Arrays whose leading dim is not divisible by the mesh size are replicated
+    instead (correct, just not parallel) — keeps tiny eval batches working.
+    """
+    n_dev = mesh.devices.size
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n_dev == 0:
+            return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)
 
 
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:

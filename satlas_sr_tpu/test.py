@@ -1,0 +1,53 @@
+"""Evaluation-with-GT CLI.
+
+Parity with ssr/test.py's test_pipeline (SURVEY.md §3.2): parse options
+(is_train=False), build loaders from opt['test_datasets'], build the model,
+and run model.validation per loader — computing the configured metric suite
+(PSNR/SSIM/cPSNR/LPIPS/CLIPScore) and saving visualization pngs under
+results/<name>/visualization/<dataset>/.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from .data import SequentialEvalLoader, build_dataset
+from .models import build_model
+from .utils.logger import get_root_logger
+from .utils.options import dict2str, make_exp_dirs, parse_options
+
+
+def test_pipeline(root_path: str, argv=None) -> dict:
+    opt, _ = parse_options(root_path, is_train=False, argv=argv)
+    make_exp_dirs(opt)
+    log_file = os.path.join(opt["path"]["log"], f"test_{opt['name']}_{int(time.time())}.log")
+    logger = get_root_logger(log_file)
+    logger.info(dict2str(opt))
+
+    loaders = []
+    for _, dataset_opt in sorted((opt.get("test_datasets") or {}).items()):
+        test_set = build_dataset(dataset_opt)
+        logger.info(f"Number of test images in {dataset_opt['name']}: {len(test_set)}")
+        loaders.append(SequentialEvalLoader(test_set, batch_size=int(dataset_opt.get("batch_size", 1))))
+
+    model = build_model(opt)
+    results = {}
+    for loader in loaders:
+        name = loader.dataset.opt.get("name", "test")
+        logger.info(f"Testing {name}...")
+        results[name] = model.validation(
+            loader, current_iter=opt["name"], tb_logger=None,
+            save_img=bool((opt.get("test") or {}).get("save_img", False)),
+            dataset_name=name,
+        )
+    return results
+
+
+def main(argv=None):
+    root_path = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    test_pipeline(root_path, argv)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Training pipeline CLI.
+
+Parity with ssr/train.py's train_pipeline (SURVEY.md §3.1): parse options ->
+resume-state discovery -> experiment dirs + loggers -> dataloaders -> model ->
+prefetching iter loop with per-freq logging, checkpointing and validation.
+
+`python -m satlas_sr_tpu.train -opt options/esrgan_s2naip_urban.yml
+ [--launcher jax] [--auto_resume] [--debug] [--force_yml a:b=c]`
+
+TPU-native loop structure: host threads prefetch uint8 batches; each iteration
+is one jitted device program (model.train_iter) over the batch sharded across
+the data mesh; log/checkpoint/validation cadence runs on host, rank-0 only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from .data import SequentialEvalLoader, build_dataset, build_train_loader
+from .models import build_model
+from .parallel.mesh import is_main_process
+from .utils.logger import AvgTimer, MessageLogger, get_root_logger, init_tb_logger
+from .utils.options import copy_opt_file, dict2str, make_exp_dirs, parse_options
+
+
+def find_resume_state(opt) -> Optional[str]:
+    """Auto-locate the latest training_states/*.state (check_resume parity)."""
+    explicit = (opt.get("path") or {}).get("resume_state")
+    if explicit:
+        return explicit
+    if not opt.get("auto_resume"):
+        return None
+    state_dir = opt["path"]["training_states"]
+    if not os.path.isdir(state_dir):
+        return None
+    states = [f for f in os.listdir(state_dir) if f.endswith(".state")]
+    if not states:
+        return None
+    def key(f):
+        stem = f[:-6]
+        return int(stem) if stem.isdigit() else -1
+    return os.path.join(state_dir, max(states, key=key))
+
+
+def train_pipeline(root_path: str, argv=None) -> None:
+    opt, args = parse_options(root_path, is_train=True, argv=argv)
+    opt["root_path"] = root_path
+
+    resume_state_path = find_resume_state(opt)
+    if resume_state_path is None:
+        make_exp_dirs(opt)
+    if is_main_process():
+        make_exp_dirs(opt)
+        copy_opt_file(args.opt, opt["path"]["experiments_root"])
+
+    log_file = os.path.join(opt["path"]["log"], f"train_{opt['name']}_{int(time.time())}.log")
+    logger = get_root_logger(log_file if is_main_process() else None)
+    logger.info(dict2str(opt))
+    tb_logger = init_tb_logger(opt) if is_main_process() else None
+
+    # datasets / loaders
+    train_ds_opt = opt["datasets"]["train"]
+    train_set = build_dataset(train_ds_opt)
+    train_loader = build_train_loader(
+        train_set, train_ds_opt, seed=opt["seed_with_rank"],
+        rank=opt["rank"], world_size=opt["world_size"],
+    )
+    val_loaders = []
+    for phase, ds_opt in opt["datasets"].items():
+        if phase == "train":
+            continue
+        val_set = build_dataset(ds_opt)
+        val_loaders.append(SequentialEvalLoader(val_set, batch_size=1))
+
+    import jax
+
+    total_iters = int(opt["train"]["total_iter"])
+    batch_per_step = int(train_ds_opt.get("batch_size_per_gpu", 16)) * jax.local_device_count()
+    iters_per_epoch = max(len(train_set) // max(batch_per_step, 1), 1)
+
+    model = build_model(opt)
+    start_iter = 0
+    epoch = 0
+    if resume_state_path:
+        info = model.resume_training(resume_state_path)
+        start_iter, epoch = info["iter"], info["epoch"]
+        logger.info(f"Resuming training from epoch: {epoch}, iter: {start_iter}.")
+
+    msg_logger = MessageLogger(opt, start_iter, tb_logger)
+    data_timer, iter_timer = AvgTimer(), AvgTimer()
+    logger.info(f"Start training from epoch: {epoch}, iter: {start_iter}")
+
+    current_iter = start_iter
+    val_freq = int((opt.get("val") or {}).get("val_freq", 0) or 0)
+    ckpt_freq = int(opt["logger"].get("save_checkpoint_freq", 5000))
+    print_freq = int(opt["logger"].get("print_freq", 100))
+
+    train_iter_stream = iter(train_loader)
+    try:
+        while current_iter < total_iters:
+            batch = next(train_iter_stream, None)
+            if batch is None:  # finite sampler exhausted; restart an epoch
+                train_iter_stream = iter(train_loader)
+                continue
+            data_timer.record()
+            current_iter += 1
+            epoch = current_iter // iters_per_epoch
+
+            model.train_iter(batch, current_iter)
+            iter_timer.record()
+            if current_iter == start_iter + 1:
+                msg_logger.reset_start_time()
+
+            if current_iter % print_freq == 0 and is_main_process():
+                log_vars = {"epoch": epoch, "iter": current_iter,
+                            "lrs": model.get_current_learning_rate(),
+                            "time": iter_timer.get_avg_time(),
+                            "data_time": data_timer.get_avg_time()}
+                log_vars.update(model.log_dict)
+                msg_logger(log_vars)
+
+            if current_iter % ckpt_freq == 0:
+                logger.info("Saving models and training states.")
+                model.save(epoch, current_iter)
+
+            if val_freq and current_iter % val_freq == 0:
+                for val_loader in val_loaders:
+                    model.validation(
+                        val_loader, current_iter, tb_logger,
+                        bool((opt.get("val") or {}).get("save_img", False)),
+                        dataset_name=val_loader.dataset.opt.get("name", "validation"),
+                    )
+
+            data_timer.start()
+            iter_timer.start()
+    finally:
+        train_loader.stop()
+
+    logger.info("End of training. Saving the latest model.")
+    model.save(epoch=-1, current_iter=-1)
+    if val_freq:
+        for val_loader in val_loaders:
+            model.validation(
+                val_loader, current_iter, tb_logger,
+                bool((opt.get("val") or {}).get("save_img", False)),
+                dataset_name=val_loader.dataset.opt.get("name", "validation"),
+            )
+
+
+def main(argv=None):
+    root_path = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    train_pipeline(root_path, argv)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Training observability: message logger, timers, scalar sinks.
+
+Parity with the reference's logging surface (SURVEY.md §5.5): formatted
+console/file lines every print_freq with epoch/iter/lrs/iter+data time/ETA and
+the model's loss dict; TensorBoard scalars under tb_logger/<name>; an
+always-on JSONL scalar sink (metrics.jsonl) for machine consumption. Wandb is
+config-accepted but logged as unavailable in this offline environment.
+
+All sinks are rank-0 only (the reference's master_only) — in JAX terms,
+jax.process_index() == 0.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+def get_root_logger(log_file: Optional[str] = None, name: str = "satlas_sr_tpu"):
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s: %(message)s", "%Y-%m-%d %H:%M:%S")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    logger.propagate = False
+    return logger
+
+
+class AvgTimer:
+    """Running-average wall-clock timer (reference AvgTimer, train.py:90)."""
+
+    def __init__(self, window: int = 200):
+        self._window = window
+        self._count = 0
+        self._sum = 0.0
+        self._avg = 0.0
+        self.start()
+
+    def start(self) -> None:
+        self._t0 = time.time()
+
+    def record(self) -> None:
+        dt = time.time() - self._t0
+        self._count += 1
+        self._sum += dt
+        self._avg = self._sum / self._count
+        if self._count > self._window:
+            self._count = 0
+            self._sum = 0.0
+        self._t0 = time.time()
+
+    def get_avg_time(self) -> float:
+        return self._avg
+
+
+class MessageLogger:
+    """Formatted progress lines + tb/jsonl scalar emission."""
+
+    def __init__(self, opt: Dict[str, Any], start_iter: int = 0, tb_logger=None):
+        self.exp_name = opt["name"]
+        logger_opt = opt.get("logger") or {}
+        self.print_freq = int(logger_opt.get("print_freq", 100))
+        self.total_iter = int(opt["train"]["total_iter"])
+        self.start_iter = start_iter
+        self.tb_logger = tb_logger
+        self.logger = get_root_logger()
+        log_dir = (opt.get("path") or {}).get("log")
+        self._jsonl = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self.reset_start_time()
+
+    def reset_start_time(self) -> None:
+        self.start_time = time.time()
+
+    def __call__(self, log_vars: Dict[str, Any]) -> None:
+        epoch = log_vars.pop("epoch")
+        current_iter = log_vars.pop("iter")
+        lrs = log_vars.pop("lrs")
+        msg = f"[{self.exp_name[:24]}..][epoch:{epoch:3d}, iter:{current_iter:8,d}, lr:("
+        msg += ", ".join(f"{lr:.3e}" for lr in lrs) + ")] "
+
+        if "time" in log_vars:
+            iter_time = log_vars.pop("time")
+            data_time = log_vars.pop("data_time")
+            total_time = time.time() - self.start_time
+            time_sec_avg = total_time / max(current_iter - self.start_iter, 1)
+            eta_sec = time_sec_avg * (self.total_iter - current_iter)
+            eta = time.strftime("%j d %H:%M:%S", time.gmtime(eta_sec)) if eta_sec < 3.1e7 else "inf"
+            msg += f"[eta: {eta}, time (data): {iter_time:.3f} ({data_time:.3f})] "
+
+        scalars = {}
+        for k, v in log_vars.items():
+            v = float(v)
+            scalars[k] = v
+            msg += f"{k}: {v:.4e} "
+        self.logger.info(msg)
+
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps({"iter": current_iter, "epoch": epoch, **scalars}) + "\n")
+            self._jsonl.flush()
+        if self.tb_logger is not None:
+            for k, v in scalars.items():
+                prefix = "losses/" if k.startswith("l_") else ""
+                self.tb_logger.add_scalar(f"{prefix}{k}", v, current_iter)
+
+
+def init_tb_logger(opt: Dict[str, Any]):
+    logger_opt = opt.get("logger") or {}
+    if not logger_opt.get("use_tb_logger") or "debug" in opt["name"]:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        get_root_logger().warning("tensorboard unavailable; skipping tb logger")
+        return None
+    root = opt.get("root_path", ".")
+    return SummaryWriter(log_dir=os.path.join(root, "tb_logger", opt["name"]))

@@ -159,11 +159,14 @@ def test_prefetch_loader_batches(tmp_path, rng):
     loader = build_train_loader(
         ds, {"batch_size_per_gpu": 2, "num_worker_per_gpu": 2, "use_shuffle": True}, seed=0
     )
+    import jax
+
+    expected = 2 * jax.local_device_count()  # per-device batch * mesh size
     it = iter(loader)
     batch = next(it)
-    assert batch["hr"].shape == (2, 128, 128, 3)
-    assert batch["lr"].shape == (2, 32, 32, 12)
-    assert len(batch["Chip"]) == 2
+    assert batch["hr"].shape == (expected, 128, 128, 3)
+    assert batch["lr"].shape == (expected, 32, 32, 12)
+    assert len(batch["Chip"]) == expected
     batch2 = next(it)
-    assert batch2["hr"].shape == (2, 128, 128, 3)
+    assert batch2["hr"].shape == (expected, 128, 128, 3)
     loader.stop()

@@ -1,0 +1,251 @@
+"""End-to-end training tests: L2 and ESRGAN paths on a synthetic dataset.
+
+Covers the reference training semantics (SURVEY.md §3.1): jitted train step,
+optimizer/scheduler/EMA, GAN two-optimizer alternation with spectral-norm
+state, USM on device, checkpoint save + resume, and the train CLI itself.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from satlas_sr_tpu.utils.imgio import write_png
+
+
+def _make_tree(root, rng, chips=4, frames=4):
+    for c in range(chips):
+        chip = f"{100 + c}_{200 + c}"
+        naip = (rng.rand(128, 128, 3) * 254 + 1).astype(np.uint8)
+        write_png(str(root / "naip" / chip / f"{chip}.png"), naip)
+        img = (rng.rand(frames * 32, 32, 3) * 254 + 1).astype(np.uint8)
+        write_png(str(root / "sentinel2" / chip / "tci.png"), img)
+    return str(root / "sentinel2"), str(root / "naip")
+
+
+def _base_opt(tmp_path, s2, naip, name):
+    return {
+        "name": name,
+        "scale": 4,
+        "num_gpu": 1,
+        "manual_seed": 0,
+        "is_train": True,
+        "rank": 0,
+        "world_size": 1,
+        "seed_with_rank": 0,
+        "datasets": {
+            "train": {
+                "name": "train",
+                "type": "S2NAIPDataset",
+                "phase": "train",
+                "scale": 4,
+                "sentinel2_path": s2,
+                "naip_path": naip,
+                "n_s2_images": 2,
+                "use_shuffle": True,
+                "batch_size_per_gpu": 2,
+                "num_worker_per_gpu": 1,
+            }
+        },
+        "path": {
+            "experiments_root": str(tmp_path / "exp" / name),
+            "models": str(tmp_path / "exp" / name / "models"),
+            "training_states": str(tmp_path / "exp" / name / "training_states"),
+            "visualization": str(tmp_path / "exp" / name / "visualization"),
+            "log": str(tmp_path / "exp" / name),
+        },
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 1000},
+        "val": None,
+    }
+
+
+def _esrgan_opt(tmp_path, s2, naip):
+    opt = _base_opt(tmp_path, s2, naip, "esrgan_tiny")
+    opt.update(
+        {
+            "model_type": "SSRESRGANModel",
+            "l1_gt_usm": True,
+            "percep_gt_usm": True,
+            "gan_gt_usm": False,
+            "feed_disc_lr": True,
+            "network_g": {"type": "SSR_RRDBNet", "num_in_ch": 6, "num_out_ch": 3,
+                          "num_feat": 8, "num_block": 1, "num_grow_ch": 4},
+            "network_d": {"type": "SSR_UNetDiscriminatorSN", "num_in_ch": 9, "num_feat": 4},
+            "train": {
+                "ema_decay": 0.999,
+                "optim_g": {"type": "Adam", "lr": 1e-4, "weight_decay": 0, "betas": [0.9, 0.99]},
+                "optim_d": {"type": "Adam", "lr": 1e-4, "weight_decay": 0, "betas": [0.9, 0.99]},
+                "scheduler": {"type": "MultiStepLR", "milestones": [400000], "gamma": 0.5},
+                "total_iter": 3,
+                "warmup_iter": -1,
+                "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0, "reduction": "mean"},
+                "perceptual_opt": {
+                    "type": "PerceptualLoss",
+                    "layer_weights": {"conv1_2": 0.1},
+                    "vgg_type": "vgg19",
+                    "use_input_norm": True,
+                    "perceptual_weight": 1.0,
+                    "style_weight": 0,
+                    "range_norm": False,
+                    "criterion": "l1",
+                },
+                "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "real_label_val": 1.0,
+                            "fake_label_val": 0.0, "loss_weight": 0.1},
+                "net_d_iters": 1,
+                "net_d_init_iters": 0,
+            },
+        }
+    )
+    return opt
+
+
+def test_esrgan_train_step_and_resume(tmp_path, rng):
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    model = build_model(opt)
+
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs1 = model.train_iter(batch, 1)
+    for key in ("l_g_pix", "l_g_percep", "l_g_gan", "l_d_real", "l_d_fake",
+                "out_d_real", "out_d_fake"):
+        assert key in logs1, key
+        assert np.isfinite(logs1[key])
+    assert logs1["l_g_pix"] > 0
+
+    logs2 = model.train_iter(batch, 2)
+    assert logs2["l_g_pix"] != logs1["l_g_pix"]  # params moved
+    assert int(np.asarray(model.state["step"])) == 2
+
+    # EMA drifted from params but stays close after 2 steps
+    import jax
+
+    ema = jax.device_get(model.state["ema"])
+    params = jax.device_get(model.state["g"]["params"])
+    diffs = jax.tree.leaves(jax.tree.map(lambda a, b: float(np.abs(a - b).max()), ema, params))
+    assert max(diffs) > 0
+
+    # save + resume round trip
+    model.save(epoch=0, current_iter=2)
+    state_path = os.path.join(opt["path"]["training_states"], "2.state")
+    assert os.path.exists(state_path)
+    model2 = build_model(opt)
+    info = model2.resume_training(state_path)
+    assert info["iter"] == 2
+    p1 = jax.device_get(model.state["g"]["params"])
+    p2 = jax.device_get(model2.state["g"]["params"])
+    leaves = zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
+    assert all(np.allclose(a, b) for a, b in leaves)
+    # resumed model can continue training
+    logs3 = model2.train_iter(batch, 3)
+    assert np.isfinite(logs3["l_g_pix"])
+
+
+def test_esrgan_net_d_init_iters_gates_g(tmp_path, rng):
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["train"]["net_d_init_iters"] = 5  # G frozen for first 5 iters
+    model = build_model(opt)
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    assert logs["l_g_pix"] == 0.0  # skip branch zeroes G logs
+    assert logs["l_d_real"] > 0  # D still trains
+
+
+def test_l2_train_step(tmp_path, rng):
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _base_opt(tmp_path, s2, naip, "srcnn_tiny")
+    opt["datasets"]["train"]["use_3d"] = True
+    opt.update(
+        {
+            "model_type": "L2Model",
+            "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                          "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                          "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                          "zoom_factor": 4, "sr_kernel_size": 1},
+            "train": {
+                "optim_g": {"type": "Adam", "lr": 1e-4, "weight_decay": 0, "betas": [0.9, 0.99]},
+                "scheduler": {"type": "MultiStepLR", "milestones": [400000], "gamma": 0.5},
+                "total_iter": 2,
+                "warmup_iter": -1,
+            },
+        }
+    )
+    model = build_model(opt)
+    batch = {
+        "lr": (rng.rand(2, 2, 32, 32, 3) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    for key in ("psnr_loss", "mse", "mae", "ssim", "tot_loss"):
+        assert key in logs and np.isfinite(logs[key])
+    logs2 = model.train_iter(batch, 2)
+    assert logs2["tot_loss"] < logs["tot_loss"] * 1.5  # sane progression
+
+    out = model.eval_outputs(batch)
+    assert out.shape == (2, 128, 128, 3) and out.dtype == np.uint8
+
+
+def test_train_cli_end_to_end(tmp_path, rng):
+    """Full pipeline through the CLI with validation + checkpoints."""
+    from satlas_sr_tpu.train import train_pipeline
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = {
+        "name": "cli_l2",
+        "model_type": "L2Model",
+        "scale": 4,
+        "num_gpu": 1,
+        "manual_seed": 0,
+        "datasets": {
+            "train": {
+                "name": "train", "type": "S2NAIPDataset", "sentinel2_path": s2,
+                "naip_path": naip, "n_s2_images": 2, "use_3d": True,
+                "use_shuffle": True, "batch_size_per_gpu": 2, "num_worker_per_gpu": 1,
+            },
+            "val": {
+                "name": "validation", "type": "S2NAIPDataset", "sentinel2_path": s2,
+                "naip_path": naip, "n_s2_images": 2, "use_3d": True, "use_shuffle": False,
+            },
+        },
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "path": {"resume_state": None},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-4, "weight_decay": 0, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [10], "gamma": 0.5},
+            "total_iter": 2,
+            "warmup_iter": -1,
+        },
+        "val": {"val_freq": 2, "save_img": True,
+                "metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 4,
+                                     "test_y_channel": False}}},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 2, "use_tb_logger": False},
+    }
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
+
+    exp = tmp_path / "experiments" / "cli_l2"
+    assert (exp / "models" / "net_g_2.msgpack").exists()
+    assert (exp / "models" / "net_g_latest.msgpack").exists()
+    assert (exp / "training_states" / "2.state").exists()
+    assert (exp / "metrics.jsonl").exists()
+    vis = exp / "visualization"
+    assert any(vis.rglob("*.png"))
