@@ -1,0 +1,78 @@
+"""Config-system tests: parse_options semantics + shipped config validity."""
+
+import glob
+import os
+
+import pytest
+import yaml
+
+from satlas_sr_tpu.utils.options import (
+    apply_force_yml,
+    parse_options,
+    yaml_load,
+)
+
+OPTIONS_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "options")
+
+
+def test_all_shipped_configs_parse():
+    paths = sorted(glob.glob(os.path.join(OPTIONS_DIR, "*.yml")))
+    assert len(paths) >= 11
+    for p in paths:
+        opt = yaml_load(p)
+        assert "network_g" in opt, p
+        if "model_type" in opt:  # training configs
+            assert opt["model_type"] in (
+                "SSRESRGANModel", "L2Model", "OSMObjESRGANModel",
+            ), p
+            assert "train" in opt and "optim_g" in opt["train"], p
+        else:  # infer configs
+            assert "data_dir" in opt and "n_lr_images" in opt, p
+
+
+def test_parse_options_train_layout(tmp_path):
+    opt_path = os.path.join(OPTIONS_DIR, "esrgan_s2naip_urban.yml")
+    opt, args = parse_options(str(tmp_path), is_train=True, argv=["-opt", opt_path])
+    assert opt["is_train"] is True
+    assert opt["rank"] == 0 and opt["world_size"] == 1
+    assert opt["path"]["models"].endswith("experiments/esrgan_s2naip_urban/models")
+    assert opt["path"]["training_states"].endswith("training_states")
+    assert opt["datasets"]["train"]["phase"] == "train"
+    assert opt["datasets"]["train"]["scale"] == 4
+    assert opt["datasets"]["val"]["phase"] == "val"
+    assert opt["seed_with_rank"] == opt["manual_seed"]
+
+
+def test_parse_options_debug_mode(tmp_path):
+    opt_path = os.path.join(OPTIONS_DIR, "esrgan_s2naip_urban.yml")
+    opt, _ = parse_options(str(tmp_path), is_train=True, argv=["-opt", opt_path, "--debug"])
+    assert opt["name"].startswith("debug_")
+    assert opt["val"]["val_freq"] == 8
+    assert opt["logger"]["print_freq"] == 1
+
+
+def test_parse_options_test_layout(tmp_path):
+    opt_path = os.path.join(OPTIONS_DIR, "esrgan_s2naip_urban.yml")
+    opt, _ = parse_options(str(tmp_path), is_train=False, argv=["-opt", opt_path])
+    assert opt["path"]["results_root"].endswith("results/esrgan_s2naip_urban")
+    assert opt["path"]["visualization"].endswith("visualization")
+
+
+def test_force_yml_overrides():
+    opt = {"train": {"ema_decay": 0.5, "optim_g": {"lr": 1e-4}}, "scale": 4}
+    apply_force_yml(opt, ["train:ema_decay=0.999", "scale=2",
+                          "train:optim_g:lr=2e-4"])
+    assert opt["train"]["ema_decay"] == 0.999
+    assert opt["scale"] == 2
+    assert opt["train"]["optim_g"]["lr"] == 2e-4
+    with pytest.raises(KeyError):
+        apply_force_yml(opt, ["train:new_key=1"])
+
+
+def test_force_yml_cli_integration(tmp_path):
+    opt_path = os.path.join(OPTIONS_DIR, "esrgan_s2naip_urban.yml")
+    opt, _ = parse_options(
+        str(tmp_path), is_train=True,
+        argv=["-opt", opt_path, "--force_yml", "train:ema_decay=0.9"],
+    )
+    assert opt["train"]["ema_decay"] == 0.9
