@@ -45,24 +45,105 @@ def lrelu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
     return jnp.where(x >= 0, x, negative_slope * x)
 
 
+class _ConvParams(nn.Module):
+    """Declares a conv's kernel+bias without an op, so forward strategy is free.
+
+    Param paths match nn.Conv ({name}/kernel, {name}/bias) so checkpoint
+    import/export is unchanged regardless of the forward used.
+    """
+
+    in_ch: int
+    out_ch: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _scaled_kaiming(self.init_scale), (3, 3, self.in_ch, self.out_ch),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
+        return kernel, bias
+
+
+def _conv2d(x, kernel, dtype):
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class ResidualDenseBlock(nn.Module):
-    """5-conv dense block with 0.2-scaled residual."""
+    """5-conv dense block with 0.2-scaled residual.
+
+    MXU-efficiency note (the reason this isn't five nn.Conv calls): the naive
+    dense chain runs four convs with only num_grow_ch(=32) output channels —
+    a quarter of the 128-wide MXU. Since conv_i(concat(x, x1, ..)) is a sum of
+    per-slice convs, the forward instead batches, for each already-available
+    tensor x_j, the contributions to ALL later convs into one conv with
+    64..192 output channels (`fused=True`, default). Identical parameters,
+    identical math (bias added once in the first partial), ~2x MXU utilisation
+    on the trunk. `fused=False` keeps the literal chain for debugging.
+    """
 
     num_feat: int = 64
     num_grow_ch: int = 32
     dtype: Any = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        conv = lambda name, feats, init_scale=0.1: nn.Conv(
-            feats, (3, 3), padding=1, name=name, dtype=self.dtype,
-            kernel_init=_scaled_kaiming(init_scale),
-        )
-        x1 = lrelu(conv("conv1", self.num_grow_ch)(x))
-        x2 = lrelu(conv("conv2", self.num_grow_ch)(jnp.concatenate([x, x1], axis=-1)))
-        x3 = lrelu(conv("conv3", self.num_grow_ch)(jnp.concatenate([x, x1, x2], axis=-1)))
-        x4 = lrelu(conv("conv4", self.num_grow_ch)(jnp.concatenate([x, x1, x2, x3], axis=-1)))
-        x5 = conv("conv5", self.num_feat)(jnp.concatenate([x, x1, x2, x3, x4], axis=-1))
+        nf, g = self.num_feat, self.num_grow_ch
+        kbs = [
+            _ConvParams(nf + i * g, g if i < 4 else nf, name=f"conv{i + 1}")()
+            for i in range(5)
+        ]
+        if not self.fused:
+            def conv(i, h):
+                k, b = kbs[i]
+                return _conv2d(h, k, self.dtype) + b.astype(self.dtype)
+
+            x1 = lrelu(conv(0, x))
+            x2 = lrelu(conv(1, jnp.concatenate([x, x1], axis=-1)))
+            x3 = lrelu(conv(2, jnp.concatenate([x, x1, x2], axis=-1)))
+            x4 = lrelu(conv(3, jnp.concatenate([x, x1, x2, x3], axis=-1)))
+            x5 = conv(4, jnp.concatenate([x, x1, x2, x3, x4], axis=-1))
+            return x5 * jnp.asarray(0.2, x5.dtype) + x
+
+        # fused: partial-product batching over the dense concat structure.
+        def w_slice(i, j):
+            """conv_i kernel slice consuming x_j (j=0 is x, j>=1 is x_j)."""
+            k = kbs[i][0]
+            lo = nf + (j - 1) * g if j >= 1 else 0
+            hi = nf if j == 0 else lo + g
+            return k[:, :, lo:hi, :]
+
+        def partial(j, h):
+            """conv of x_j against all later convs' slices, outputs packed."""
+            w = jnp.concatenate([w_slice(i, j) for i in range(j, 5)], axis=-1)
+            out = _conv2d(h, w, self.dtype)
+            if j == 0:  # biases applied exactly once
+                b = jnp.concatenate([kb[1] for kb in kbs], axis=-1)
+                out = out + b.astype(self.dtype)
+            return out
+
+        def take(p, j, i):
+            """slice conv_i's packed contribution out of partial Pj."""
+            off = (i - j) * g
+            size = g if i < 4 else nf
+            return jax.lax.dynamic_slice_in_dim(p, off, size, axis=-1)
+
+        p0 = partial(0, x)
+        x1 = lrelu(take(p0, 0, 0))
+        p1 = partial(1, x1)
+        x2 = lrelu(take(p0, 0, 1) + take(p1, 1, 1))
+        p2 = partial(2, x2)
+        x3 = lrelu(take(p0, 0, 2) + take(p1, 1, 2) + take(p2, 2, 2))
+        p3 = partial(3, x3)
+        x4 = lrelu(take(p0, 0, 3) + take(p1, 1, 3) + take(p2, 2, 3) + take(p3, 3, 3))
+        p4 = partial(4, x4)
+        x5 = (take(p0, 0, 4) + take(p1, 1, 4) + take(p2, 2, 4)
+              + take(p3, 3, 4) + p4)
         return x5 * jnp.asarray(0.2, x5.dtype) + x
 
 

@@ -75,18 +75,36 @@ class InferenceEngine:
             batch_np = batch_np.reshape(b, h, w, t, tc // t).transpose(0, 3, 1, 2, 4)
         return batch_np
 
+    def _put(self, batch_np: np.ndarray):
+        x = self._prep(np.ascontiguousarray(batch_np))
+        if self.mesh is not None:
+            return shard_batch(self.mesh, x)
+        return jax.device_put(x)
+
     def run(self, batch_np: np.ndarray) -> np.ndarray:
         """uint8 [B, 32, 32, T*3] (or 5-D) -> uint8 [B, H_out, W_out, 3]."""
         n = batch_np.shape[0]
-        x = self._prep(np.ascontiguousarray(batch_np))
-        if self.mesh is not None:
-            x = shard_batch(self.mesh, x)
-        y = self._run(self.variables, x)
+        y = self._run(self.variables, self._put(batch_np))
         return np.asarray(y)[:n]
 
     def run_many(self, batches: Iterable[np.ndarray]) -> Iterable[np.ndarray]:
+        """Pipelined execution: next batch transfers while current computes.
+
+        device_put and dispatch are async in JAX; keeping one batch in flight
+        overlaps PCIe/tunnel transfer and host formatting with device compute
+        (the reference's CUDAPrefetcher role, train.py:77-86).
+        """
+        pending = None  # (n, device_result)
         for b in batches:
-            yield self.run(b)
+            n = b.shape[0]
+            y = self._run(self.variables, self._put(b))
+            if pending is not None:
+                pn, py = pending
+                yield np.asarray(py)[:pn]
+            pending = (n, y)
+        if pending is not None:
+            pn, py = pending
+            yield np.asarray(py)[:pn]
 
 
 def batched(items: Sequence, batch_size: int) -> List[Sequence]:
