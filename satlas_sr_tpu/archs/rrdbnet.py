@@ -90,6 +90,8 @@ class ResidualDenseBlock(nn.Module):
     num_grow_ch: int = 32
     dtype: Any = jnp.float32
     fused: bool = True
+    rdb_impl: str = "xla"  # 'xla' | 'pallas' (fused VMEM kernel, inference)
+    rdb_tile: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -98,6 +100,13 @@ class ResidualDenseBlock(nn.Module):
             _ConvParams(nf + i * g, g if i < 4 else nf, name=f"conv{i + 1}")()
             for i in range(5)
         ]
+        if self.rdb_impl == "pallas" and x.shape[0] % self.rdb_tile == 0:
+            from ..ops.pallas.rdb import rdb_pallas
+
+            return rdb_pallas(
+                x, [k for k, _ in kbs], [b for _, b in kbs], nf, g,
+                tile=self.rdb_tile,
+            )
         if not self.fused:
             def conv(i, h):
                 k, b = kbs[i]
@@ -153,12 +162,17 @@ class RRDB(nn.Module):
     num_feat: int
     num_grow_ch: int = 32
     dtype: Any = jnp.float32
+    rdb_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype, name="rdb1")(x)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype, name="rdb2")(out)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype, name="rdb3")(out)
+        rdb = lambda name: ResidualDenseBlock(
+            self.num_feat, self.num_grow_ch, self.dtype, rdb_impl=self.rdb_impl,
+            name=name,
+        )
+        out = rdb("rdb1")(x)
+        out = rdb("rdb2")(out)
+        out = rdb("rdb3")(out)
         return out * jnp.asarray(0.2, out.dtype) + x
 
 
@@ -169,11 +183,13 @@ class _ScannedRRDB(nn.Module):
     num_grow_ch: int
     dtype: Any
     remat: bool
+    rdb_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, _):
         block_cls = nn.remat(RRDB) if self.remat else RRDB
-        x = block_cls(self.num_feat, self.num_grow_ch, self.dtype, name="block")(x)
+        x = block_cls(self.num_feat, self.num_grow_ch, self.dtype,
+                      rdb_impl=self.rdb_impl, name="block")(x)
         return x, None
 
 
@@ -193,6 +209,7 @@ class RRDBNet(nn.Module):
     num_grow_ch: int = 32
     dtype: Any = jnp.float32
     remat: bool = False
+    rdb_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -212,7 +229,8 @@ class RRDBNet(nn.Module):
             split_rngs={"params": True},
             length=self.num_block,
             metadata_params={nn.meta.PARTITION_NAME: None},
-        )(self.num_feat, self.num_grow_ch, self.dtype, self.remat, name="body")
+        )(self.num_feat, self.num_grow_ch, self.dtype, self.remat,
+          rdb_impl=self.rdb_impl, name="body")
         body_feat, _ = trunk(feat, None)
         body_feat = conv("conv_body", self.num_feat)(body_feat)
         feat = feat + body_feat

@@ -97,6 +97,16 @@ def train_pipeline(root_path: str, argv=None) -> None:
     ckpt_freq = int(opt["logger"].get("save_checkpoint_freq", 5000))
     print_freq = int(opt["logger"].get("print_freq", 100))
 
+    # Profiling hook (SURVEY.md §5.1 — the reference has only wall-clock
+    # AvgTimers; here a jax.profiler device trace can be captured mid-run).
+    profile_opt = opt["logger"].get("profile") or {}
+    profile_start = int(profile_opt.get("start_iter", 0) or 0)
+    profile_iters = int(profile_opt.get("num_iters", 0) or 0)
+    profile_dir = profile_opt.get(
+        "dir", os.path.join(opt["path"]["log"], "profile")
+    )
+    profiling = False
+
     train_iter_stream = iter(train_loader)
     try:
         while current_iter < total_iters:
@@ -108,7 +118,16 @@ def train_pipeline(root_path: str, argv=None) -> None:
             current_iter += 1
             epoch = current_iter // iters_per_epoch
 
+            if profile_iters and current_iter == profile_start and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+
             model.train_iter(batch, current_iter)
+
+            if profiling and current_iter >= profile_start + profile_iters:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"Profiler trace written to {profile_dir}")
             iter_timer.record()
             if current_iter == start_iter + 1:
                 msg_logger.reset_start_time()
