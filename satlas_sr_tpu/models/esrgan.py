@@ -61,6 +61,10 @@ class ESRGANModel(BaseModel):
             g_opt["num_in_ch"] = derived
             self.n_frames = n_imgs
         self.num_in_ch = int(g_opt["num_in_ch"])
+        from ..utils.model_utils import compute_dtype
+
+        self._dtype = compute_dtype(opt)
+        g_opt.setdefault("dtype", self._dtype)
         self.net_g = build_arch(g_opt)
 
         self.feed_disc_lr = bool(opt.get("feed_disc_lr", False))
@@ -90,6 +94,7 @@ class ESRGANModel(BaseModel):
                     f"conditioning flags; using {disc_in}."
                 )
             d_opt["num_in_ch"] = disc_in
+            d_opt.setdefault("dtype", self._dtype)
             self.net_d = build_arch(d_opt)
             d_example = jnp.zeros((1, 32 * self.scale, 32 * self.scale, disc_in), jnp.float32)
             d_vars = self.net_d.init(rng, d_example, *self._extra_d_init_args())

@@ -1,0 +1,176 @@
+"""Model variant coverage: OSM-object GAN, old-NAIP conditioning, aux losses,
+multi-band channel derivation, bf16 training step."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from satlas_sr_tpu.utils.imgio import write_png
+
+
+def _make_tree(root, rng, chips=4, frames=4, old_naip=False):
+    chip_names = []
+    for c in range(chips):
+        chip = f"{500 + c}_{600 + c}"
+        chip_names.append(chip)
+        naip = (rng.rand(128, 128, 3) * 254 + 1).astype(np.uint8)
+        write_png(str(root / "naip" / chip / f"{chip}.png"), naip)
+        img = (rng.rand(frames * 32, 32, 3) * 254 + 1).astype(np.uint8)
+        write_png(str(root / "sentinel2" / chip / "tci.png"), img)
+        if old_naip:
+            old = (rng.rand(128, 128, 3) * 254 + 1).astype(np.uint8)
+            write_png(str(root / "old_naip" / chip / f"{chip}.png"), old)
+    return chip_names
+
+
+def _gan_opt(tmp_path, name, **over):
+    opt = {
+        "name": name,
+        "model_type": "SSRESRGANModel",
+        "scale": 4,
+        "manual_seed": 0,
+        "is_train": True,
+        "l1_gt_usm": True, "percep_gt_usm": True, "gan_gt_usm": False,
+        "feed_disc_lr": True,
+        "datasets": {"train": {
+            "name": "train", "type": "S2NAIPDataset", "phase": "train",
+            "sentinel2_path": str(tmp_path / "sentinel2"),
+            "naip_path": str(tmp_path / "naip"),
+            "n_s2_images": 2, "batch_size_per_gpu": 2,
+        }},
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": 6, "num_out_ch": 3,
+                      "num_feat": 8, "num_block": 1, "num_grow_ch": 4},
+        "network_d": {"type": "SSR_UNetDiscriminatorSN", "num_in_ch": 9, "num_feat": 4},
+        "path": {},
+        "train": {
+            "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "optim_d": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [1000], "gamma": 0.5},
+            "total_iter": 2, "warmup_iter": -1,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0, "reduction": "mean"},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "real_label_val": 1.0,
+                        "fake_label_val": 0.0, "loss_weight": 0.1},
+            "net_d_iters": 1, "net_d_init_iters": 0,
+        },
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 1000},
+    }
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(opt.get(k), dict):
+            opt[k].update(v)
+        else:
+            opt[k] = v
+    return opt
+
+
+def test_osm_obj_esrgan_step(tmp_path, rng):
+    from satlas_sr_tpu.models import build_model
+
+    chips = _make_tree(tmp_path, rng)
+    osm_data = {
+        chips[0]: {"building": [[10, 10, 40, 50], [5, 5, 5, 90]]},  # deg. x-box
+        chips[1]: {"road": [[0, 0, 128, 128]]},
+    }
+    osm_path = tmp_path / "osm_chips_to_masks.json"
+    with open(osm_path, "w") as f:
+        json.dump(osm_data, f)
+
+    opt = _gan_opt(tmp_path, "osm_tiny", model_type="OSMObjESRGANModel",
+                   osm_obj_weight=0.3, n_osm_objs=1)
+    opt["datasets"]["train"]["osm_objs_path"] = str(osm_path)
+    opt["datasets"]["train"]["n_osm_objs"] = 1
+    opt["network_d"] = {"type": "OSMObjDiscriminator", "num_in_ch": 9, "num_feat": 4}
+    model = build_model(opt)
+
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+        "Chip": [chips[0], chips[1]],
+    }
+    logs = model.train_iter(batch, 1)
+    for key in ("l_g_gan_objs", "l_d_real_objs", "l_d_fake_objs", "l_g_pix",
+                "l_d_real", "l_d_fake"):
+        assert key in logs and np.isfinite(logs[key]), (key, logs)
+    logs2 = model.train_iter(batch, 2)
+    assert logs2["l_g_pix"] != logs[
+        "l_g_pix"
+    ]  # object game trains along with the pixel game
+
+
+def test_old_naip_conditioning(tmp_path, rng):
+    from satlas_sr_tpu.models import build_model
+
+    _make_tree(tmp_path, rng, old_naip=True)
+    opt = _gan_opt(tmp_path, "oldnaip_tiny")
+    opt["datasets"]["train"]["old_naip_path"] = str(tmp_path / "old_naip")
+    opt["network_d"]["num_in_ch"] = 12  # 3 + 6 + 3
+    model = build_model(opt)
+    assert model.has_old_hr
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+        "old_hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    assert np.isfinite(logs["l_d_real"]) and np.isfinite(logs["l_g_gan"])
+
+
+def test_ssim_and_clip_aux_losses(tmp_path, rng):
+    from satlas_sr_tpu.models import build_model
+
+    _make_tree(tmp_path, rng)
+    opt = _gan_opt(tmp_path, "aux_tiny")
+    opt["train"]["ssim_opt"] = {"type": "SSIMLoss", "loss_weight": 1.0}
+    opt["train"]["clip_opt"] = {"type": "CLIPLoss", "clip_loss_model": "test-tiny",
+                                "loss_weight": 1.0}
+    model = build_model(opt)
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    assert logs["l_g_ssim"] > 0
+    assert np.isfinite(logs["l_clip_sim"])
+
+
+def test_multiband_channel_derivation(tmp_path, rng):
+    """allbands-style config: num_in_ch derived from n_s2_images * bands."""
+    from satlas_sr_tpu.models import build_model
+
+    _make_tree(tmp_path, rng)
+    opt = _gan_opt(tmp_path, "allbands_tiny")
+    opt["datasets"]["train"]["s2_bands"] = ["tci", "b05", "b06"]
+    opt["network_g"]["num_in_ch"] = 999  # stale, must be overridden (=2*(3+2)=10)
+    opt["network_d"]["num_in_ch"] = 13  # 3 + 10
+    model = build_model(opt)
+    assert model.num_in_ch == 10
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 10) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    assert np.isfinite(logs["l_g_pix"])
+
+
+def test_bf16_training_step(tmp_path, rng):
+    from satlas_sr_tpu.models import build_model
+
+    _make_tree(tmp_path, rng)
+    opt = _gan_opt(tmp_path, "bf16_tiny", compute_dtype="bfloat16")
+    model = build_model(opt)
+    import jax.numpy as jnp
+
+    assert model.net_g.dtype == jnp.bfloat16
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    assert np.isfinite(logs["l_g_pix"]) and np.isfinite(logs["l_d_real"])
+    # params stay f32 master copies
+    import jax
+
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(model.state["g"]["params"]))
