@@ -106,9 +106,12 @@ def vgg19_features(
     h = x.astype(dtype)
     for i, item in enumerate(VGG19_PLAN):
         if item == "M":
-            h = -jax.lax.reduce_window(
-                -h, jnp.asarray(jnp.inf, h.dtype), jax.lax.min,
-                (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+            # 2x2/2 maxpool as elementwise max of the four disjoint-window
+            # slices: identical result, and (unlike reduce_window_max) it
+            # linearizes under grad-inside-lax.cond (the GAN step's G gating).
+            h = jnp.maximum(
+                jnp.maximum(h[:, 0::2, 0::2, :], h[:, 1::2, 0::2, :]),
+                jnp.maximum(h[:, 0::2, 1::2, :], h[:, 1::2, 1::2, :]),
             )
             continue
         name, _ = item

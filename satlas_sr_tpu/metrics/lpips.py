@@ -92,9 +92,9 @@ def _vgg16_features(convs, x: jax.Array) -> List[jax.Array]:
     ci = 0
     for item in _VGG16_PLAN:
         if item == "M":
-            h = -jax.lax.reduce_window(
-                -h, jnp.asarray(jnp.inf, h.dtype), jax.lax.min,
-                (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+            h = jnp.maximum(
+                jnp.maximum(h[:, 0::2, 0::2, :], h[:, 1::2, 0::2, :]),
+                jnp.maximum(h[:, 0::2, 1::2, :], h[:, 1::2, 1::2, :]),
             )
             continue
         p = convs[ci]

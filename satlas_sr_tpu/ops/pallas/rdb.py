@@ -43,6 +43,9 @@ def _conv3x3_vmem(h, w, t, hw, f32=jnp.float32):
     """3x3 same-conv of (T, H, W, Cin) against (3, 3, Cin, Cout), in-registers.
 
     Zero-pads spatially via concat, then accumulates 9 shifted matmuls.
+    (A width-shift channel-concat variant — 3 matmuls with K=3*Cin — was
+    tried, but Mosaic cannot concatenate sublane-offset views along the lane
+    dim; kept the 9-matmul form which compiles.)
     """
     cin = h.shape[-1]
     cout = w.shape[-1]
