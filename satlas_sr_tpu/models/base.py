@@ -120,12 +120,54 @@ class BaseModel:
         """name -> variables dicts to persist. Override in subclasses."""
         raise NotImplementedError
 
+    #: net name -> (arch_type, exporter kwargs) for reference-format .pth
+    #: mirrors; populated by subclasses where torch_io has an exporter.
+    torch_export: Dict[str, str] = {}
+
+    def _export_pth(self, net: str, variables: Dict[str, Any], current_iter) -> None:
+        arch_type = self.torch_export.get(net)
+        if not arch_type:
+            return
+        from ..utils import torch_io
+
+        exporters = {
+            "SSR_RRDBNet": torch_io.rrdbnet_to_torch,
+            "SRCNN": torch_io.srcnn_to_torch,
+            "SSR_UNetDiscriminatorSN": torch_io.unet_disc_to_torch,
+        }
+        fn = exporters.get(arch_type)
+        if fn is None:
+            return
+        tag = "latest" if current_iter == -1 else str(current_iter)
+        path = os.path.join(self.opt["path"]["models"], f"net_{net}_{tag}.pth")
+        try:
+            host = jax.device_get(variables)
+            tensors = {}
+            for key in ("params", "params_ema"):
+                if key in host:
+                    sub = {"params": host[key]}
+                    if "spectral" in host:
+                        sub["spectral"] = host["spectral"]
+                    tensors[key] = fn(sub)
+            import torch
+
+            torch.save(
+                {k: {n: torch.from_numpy(np.ascontiguousarray(v)) for n, v in t.items()}
+                 for k, t in tensors.items()},
+                path,
+            )
+        except Exception as e:  # interop mirror is best-effort
+            self.logger.warning(f"torch .pth export for net_{net} failed: {e}")
+
     def save(self, epoch: int, current_iter: int) -> None:
         if not is_main_process():
             return
         host_state = jax.device_get(self.state)
+        save_pth = bool((self.opt.get("logger") or {}).get("save_pth", True))
         for net, variables in self.network_checkpoints().items():
             save_pytree(self._net_path(net, current_iter), jax.device_get(variables))
+            if save_pth:
+                self._export_pth(net, variables, current_iter)
         tag = "latest" if current_iter == -1 else str(current_iter)
         state_path = os.path.join(self.opt["path"]["training_states"], f"{tag}.state")
         save_pytree(state_path, {"epoch": epoch, "iter": current_iter, "state": host_state})

@@ -134,6 +134,10 @@ class ESRGANModel(BaseModel):
             if self.ema_decay >= 0 and pre_g is not None and "params_ema" in pre_g:
                 self.state["ema"] = pre_g["params_ema"]
 
+        self.torch_export = {
+            "g": opt["network_g"]["type"],
+            "d": (opt.get("network_d") or {}).get("type"),
+        }
         self.replicate_state()
         self._eval_step = self._build_eval_step()
 

@@ -56,6 +56,7 @@ class L2Model(BaseModel):
             "opt": opt_state,
             "rng": rng,
         }
+        self.torch_export = {"g": opt["network_g"]["type"]}
         self.replicate_state()
         self._train_step = self._build_train_step() if opt.get("is_train") else None
         self._eval_step = self._build_eval_step()

@@ -134,6 +134,18 @@ def test_esrgan_train_step_and_resume(tmp_path, rng):
     model.save(epoch=0, current_iter=2)
     state_path = os.path.join(opt["path"]["training_states"], "2.state")
     assert os.path.exists(state_path)
+
+    # reference-format .pth mirrors are written and re-importable
+    from satlas_sr_tpu.utils import torch_io
+
+    pth_path = os.path.join(opt["path"]["models"], "net_g_2.pth")
+    assert os.path.exists(pth_path)
+    back = torch_io.import_torch_checkpoint(
+        "SSR_RRDBNet", pth_path, {"num_block": 1}, "params_ema"
+    )
+    ema_host = jax.device_get(model.state["ema"])
+    same = jax.tree.map(lambda a, b: bool(np.allclose(a, b)), ema_host, back["params"])
+    assert all(jax.tree.leaves(same))
     model2 = build_model(opt)
     info = model2.resume_training(state_path)
     assert info["iter"] == 2
