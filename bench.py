@@ -127,6 +127,10 @@ def cpu_baseline() -> float:
 def main():
     import jax
 
+    from satlas_sr_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     devices = jax.devices()
     log("devices:", devices)
     on_accel = devices[0].platform != "cpu"

@@ -37,6 +37,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True, help="Path to the options file.")
     args = parser.parse_args(argv)
+    from .utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opt = yaml_load(args.opt)
     run_inference(opt, save_lr=False, grid_naming=True)
     stitch_tiles(opt["data_dir"], opt["save_path"])

@@ -19,6 +19,9 @@ from .utils.options import dict2str, make_exp_dirs, parse_options
 
 
 def test_pipeline(root_path: str, argv=None) -> dict:
+    from .utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opt, _ = parse_options(root_path, is_train=False, argv=argv)
     make_exp_dirs(opt)
     log_file = os.path.join(opt["path"]["log"], f"test_{opt['name']}_{int(time.time())}.log")

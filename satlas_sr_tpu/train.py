@@ -45,6 +45,9 @@ def find_resume_state(opt) -> Optional[str]:
 
 
 def train_pipeline(root_path: str, argv=None) -> None:
+    from .utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opt, args = parse_options(root_path, is_train=True, argv=argv)
     opt["root_path"] = root_path
 

@@ -27,10 +27,16 @@ def load_torch_state_dict(path: str, param_key: Optional[str] = "params_ema"):
     state = torch.load(path, map_location="cpu", weights_only=True)
     if param_key and param_key in state:
         state = state[param_key]
-    elif "params_ema" in state:
-        state = state["params_ema"]
-    elif "params" in state:
-        state = state["params"]
+    elif "params_ema" in state or "params" in state:
+        fallback = "params_ema" if "params_ema" in state else "params"
+        if param_key:
+            import logging
+
+            logging.getLogger("satlas_sr_tpu").warning(
+                "checkpoint %s has no key %r; falling back to %r",
+                path, param_key, fallback,
+            )
+        state = state[fallback]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in state.items()}
 
 
