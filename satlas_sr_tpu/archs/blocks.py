@@ -238,3 +238,91 @@ class PixelShuffleBlock(nn.Module):
         y = ReflectConv(self.features_out, self.sr_kernel_size, dtype=self.dtype, name="conv2")(y)
         y = PReLU(name="prelu2")(y)
         return y
+
+
+class ResidualBlockNoBN(nn.Module):
+    """conv-relu-conv with scaled residual (arch_util.py:647-671)."""
+
+    num_feat: int = 64
+    res_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv2", dtype=self.dtype)(y)
+        return x + y * jnp.asarray(self.res_scale, y.dtype)
+
+
+class Upsample(nn.Module):
+    """Pixel-shuffle upsampler for 2^n and 3 scales (arch_util.py:674-693)."""
+
+    scale: int
+    num_feat: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = self.scale
+        if (s & (s - 1)) == 0:  # power of two
+            n_stages = s.bit_length() - 1
+            for i in range(n_stages):
+                x = nn.Conv(4 * self.num_feat, (3, 3), padding=1,
+                            name=f"conv{i}", dtype=self.dtype)(x)
+                x = pixel_shuffle(x, 2)
+        elif s == 3:
+            x = nn.Conv(9 * self.num_feat, (3, 3), padding=1, name="conv0",
+                        dtype=self.dtype)(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise ValueError(f"scale {s} not supported (2^n and 3 only)")
+        return x
+
+
+def trunc_normal_init(std: float = 1.0, mean: float = 0.0, a: float = -2.0, b: float = 2.0):
+    """Truncated-normal initializer (arch_util.py:817-878 semantics)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        lo = (a - mean) / std
+        hi = (b - mean) / std
+        return jax.random.truncated_normal(key, lo, hi, shape, dtype) * std + mean
+
+    return init
+
+
+class DCNv2Pack(nn.Module):
+    """Modulated deformable conv with self-generated offsets (arch_util.py:788-814).
+
+    The offset/mask conv takes auxiliary features; offsets are clipped-free but
+    a >50px mean magnitude is the reference's instability warning sign.
+    """
+
+    features: int
+    kernel_size: int = 3
+    deformable_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, feat: jax.Array) -> jax.Array:
+        from ..ops.warp import deform_conv2d
+
+        k = self.kernel_size
+        n_taps = k * k * self.deformable_groups
+        conv_offset = nn.Conv(3 * n_taps, (k, k), padding=(k - 1) // 2,
+                              name="conv_offset", dtype=self.dtype,
+                              kernel_init=nn.initializers.zeros)(feat)
+        o1, o2, mask = jnp.split(conv_offset, 3, axis=-1)
+        offsets = jnp.concatenate([o1, o2], axis=-1)
+        # interleave (dy, dx) per tap to torch channel order
+        n, h, w, _ = offsets.shape
+        offsets = jnp.stack([o1, o2], axis=-1).reshape(n, h, w, 2 * n_taps)
+        mask = jax.nn.sigmoid(mask)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return deform_conv2d(x, offsets, kernel, bias, mask,
+                             stride=1, padding=(k - 1) // 2)
