@@ -48,6 +48,15 @@ class InferenceEngine:
             # Pad batch to a multiple of the mesh size for even sharding.
             n_dev = self.mesh.devices.size
             self.batch_size = max(batch_size // n_dev, 1) * n_dev
+        if getattr(model, "dtype", None) in (jnp.bfloat16, jnp.float16):
+            # Inference-only: store weights in the compute dtype — halves
+            # per-step weight HBM reads; training keeps f32 master params.
+            variables = jax.tree.map(
+                lambda v: v.astype(model.dtype)
+                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                else v,
+                variables,
+            )
         self.variables = jax.device_put(variables)
         self._precision = matmul_precision
 
