@@ -58,16 +58,28 @@ def format_s2naip_data(
 
 
 def format_s2naip_batch(
-    pngs: Sequence[str], n_s2_images: int, seed: int = 0
+    pngs: Sequence[str], n_s2_images: int, seed: int = 0, workers: int = 4
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
-    """Decode + format many pngs into one [B, 32, 32, T*3] uint8 batch."""
-    inputs, previews = [], []
-    for i, path in enumerate(pngs):
+    """Decode + format many pngs into one [B, 32, 32, T*3] uint8 batch.
+
+    Decoding runs on a thread pool — the native libpng extension releases the
+    GIL, so host formatting overlaps across files (and with device compute
+    when driven through InferenceEngine.run_many).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(args):
+        i, path = args
         rng = np.random.RandomState(seed + i)
-        data = read_png(path)
-        stacked, preview = format_s2naip_data(data, n_s2_images, rng)
-        inputs.append(stacked)
-        previews.append(preview)
+        return format_s2naip_data(read_png(path), n_s2_images, rng)
+
+    if len(pngs) > 1 and workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(load, enumerate(pngs)))
+    else:
+        results = [load(x) for x in enumerate(pngs)]
+    inputs = [r[0] for r in results]
+    previews = [r[1] for r in results]
     return np.stack(inputs), previews
 
 

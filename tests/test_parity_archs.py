@@ -146,3 +146,23 @@ def test_highresnet_matches_torch(rng):
     back = torch_io.highresnet_from_torch(out)
     y_back = np.asarray(model.apply(back, x_jax))
     np.testing.assert_array_equal(np.asarray(model.apply(variables, x_jax)), y_back)
+
+
+@pytest.mark.parametrize("scale", [8, 16])
+def test_rrdbnet_high_scales(rng, scale):
+    """x8/x16 add conv_up3/conv_up4 stages (rrdbnet_arch.py:106-109,130-134)."""
+    model = RRDBNet(num_in_ch=3, num_out_ch=3, scale=scale, num_feat=8,
+                    num_block=1, num_grow_ch=4)
+    x = jnp.zeros((1, 8, 8, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "conv_up3" in variables["params"]
+    assert ("conv_up4" in variables["params"]) == (scale == 16)
+    out = jax.eval_shape(lambda v, x: model.apply(v, x), variables, x)
+    assert out.shape == (1, 8 * scale, 8 * scale, 3)
+    # torch round trip covers the extra stages
+    sd = torch_io.rrdbnet_to_torch(variables)
+    assert f"conv_up3.weight" in sd
+    back = torch_io.rrdbnet_from_torch(sd, num_block=1)
+    y1 = model.apply(variables, jnp.ones((1, 8, 8, 3)))
+    y2 = model.apply(back, jnp.ones((1, 8, 8, 3)))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
