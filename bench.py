@@ -38,9 +38,11 @@ def build_forward(dtype_name: str, precision: str):
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
     model = RRDBNet(num_in_ch=24, num_out_ch=3, scale=4, num_feat=64,
                     num_block=23, num_grow_ch=32, dtype=dtype)
-    variables = jax.device_put(
-        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 24)))
-    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 24)))
+    if dtype != jnp.float32:
+        # store weights in the compute dtype: halves weight HBM reads
+        variables = jax.tree.map(lambda v: v.astype(dtype), variables)
+    variables = jax.device_put(variables)
 
     @jax.jit
     def forward(x_uint8):

@@ -308,8 +308,8 @@ class ESRGANModel(BaseModel):
         hr = self.shard(batch["hr"])
         old_hr = self.shard(batch["old_hr"]) if self.has_old_hr and "old_hr" in batch else None
         self.state, logs = self._train_step(self.state, lr, hr, old_hr)
-        self.log_dict = {k: float(v) for k, v in jax.device_get(logs).items()}
-        return self.log_dict
+        self.log_dict = logs  # device scalars; floated lazily at print_freq
+        return logs
 
     def eval_params(self):
         return self.state.get("ema", self.state["g"]["params"])

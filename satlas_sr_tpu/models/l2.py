@@ -128,8 +128,11 @@ class L2Model(BaseModel):
         lr = self.shard(self._prep_lr(batch["lr"]))
         hr = self.shard(batch["hr"])
         self.state, logs = self._train_step(self.state, lr, hr)
-        self.log_dict = {k: float(v) for k, v in jax.device_get(logs).items()}
-        return self.log_dict
+        # Keep logs as device scalars: fetching every iter would sync the
+        # pipeline (~40% step-time overhead measured); MessageLogger floats
+        # them only at print_freq.
+        self.log_dict = logs
+        return logs
 
     def eval_outputs(self, batch: Dict[str, Any]) -> np.ndarray:
         lr = self._prep_lr(np.asarray(batch["lr"]))

@@ -215,5 +215,5 @@ class OSMObjESRGANModel(ESRGANModel):
         hr = self.shard(batch["hr"])
         old_hr = self.shard(batch["old_hr"]) if self.has_old_hr and "old_hr" in batch else None
         self.state, logs = self._train_step(self.state, lr, hr, old_hr, self.shard(boxes))
-        self.log_dict = {k: float(v) for k, v in jax.device_get(logs).items()}
-        return self.log_dict
+        self.log_dict = logs  # device scalars; floated lazily at print_freq
+        return logs
