@@ -66,12 +66,15 @@ def main():
     logs = model.train_iter(batch_np, 1)
     print(f"compile+step1: {time.perf_counter() - t0:.1f}s "
           f"l_g_pix={logs['l_g_pix']:.4f}", flush=True)
+    import jax
+
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
         iters = 5
         for i in range(iters):
             logs = model.train_iter(batch_np, 2 + i)
+        jax.block_until_ready(logs)  # logs are lazy device scalars now
         dt = time.perf_counter() - t0
         best = max(best, iters / dt)
     print(f"steady state: {best:.2f} steps/s = {best * batch:.1f} samples/s "
