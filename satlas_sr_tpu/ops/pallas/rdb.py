@@ -23,9 +23,18 @@ currently SLOWER than the XLA lowering — Mosaic keeps the nine shifted patch
 views plus f32 accumulators live, capping the image tile at 2 (VMEM OOM at 4+)
 which starves the MXU (M=2048 rows/matmul). The XLA path (rdb_impl='xla',
 default) runs the flagship at ~2900 img/s; this kernel at ~3x less. Kept as an
-off-by-default option; next iterations: accumulate in a scratch ref, stream
-weights via double-buffered DMA, and fold the dx shifts into one K=3*Cin
-matmul per dy to cut live views from 9 to 3.
+off-by-default option.
+
+Variants tried and their failure modes (for the next iteration):
+- width-shift channel concat (3 matmuls, K=3*Cin): Mosaic cannot concatenate
+  sublane-offset views along the lane dim ("tpu.concatenate" layout error);
+- explicit VMEM scratch refs for the partials (tile 4/8): still stack-OOMs —
+  the per-(dy,dx) patch reshapes are materialised as SSA values regardless;
+- fori_loop over taps with pl.ds dynamic offsets: Mosaic cannot statically
+  prove the slice bound (dy = k//3 in [0,3)) -> compile error.
+Next ideas: lax.switch over 9 static-slice branches (liveness = 1 branch),
+or a layout where spatial lives on lanes so tap shifts are sublane-offset
+reads, with pltpu.roll for the dx dimension.
 """
 
 from __future__ import annotations
