@@ -207,6 +207,15 @@ class BaseModel:
                    dataset_name: Optional[str] = None) -> Dict[str, float]:
         dataset_name = dataset_name or loader.dataset.opt.get("name", "validation")
         metrics2run = self._metrics2run(dataset_name)
+        section = self.opt.get("test" if dataset_name == "test" else "val") or {}
+        fast_fns = {}
+        if metrics2run and section.get("fast_metrics"):
+            from ..metrics.fast_eval import fast_metric_fn
+
+            for name, m_opt in metrics2run.items():
+                fn = fast_metric_fn(m_opt)
+                if fn is not None:
+                    fast_fns[name] = fn
         if metrics2run:
             if dataset_name not in self.best_metric_results:
                 rec = {}
@@ -224,6 +233,12 @@ class BaseModel:
         for batch in loader:
             sr_uint8 = self.eval_outputs(batch)  # [B, H, W, 3] uint8
             gt = batch.get("hr")
+            if gt is not None and fast_fns:
+                # device-batched metrics over the whole eval batch
+                sr_dev = jnp.asarray(sr_uint8)
+                gt_dev = jnp.asarray(gt)
+                for name, fn in fast_fns.items():
+                    self.metric_results[name] += float(jnp.sum(fn(sr_dev, gt_dev)))
             for b in range(sr_uint8.shape[0]):
                 img_name = str(count)
                 sr_img = sr_uint8[b]
@@ -243,6 +258,8 @@ class BaseModel:
                         write_png(path, gt_img)
                     data = {"img": sr_img, "img2": gt_img}
                     for name, m_opt in metrics2run.items():
+                        if name in fast_fns:
+                            continue  # already accumulated on device
                         try:
                             self.metric_results[name] += calculate_metric(data, m_opt)
                         except Exception as e:  # metric tower unavailable etc.

@@ -75,7 +75,9 @@ def train_pipeline(root_path: str, argv=None) -> None:
         if phase == "train":
             continue
         val_set = build_dataset(ds_opt)
-        val_loaders.append(SequentialEvalLoader(val_set, batch_size=1))
+        val_loaders.append(
+            SequentialEvalLoader(val_set, batch_size=int(ds_opt.get("batch_size", 1)))
+        )
 
     import jax
 
