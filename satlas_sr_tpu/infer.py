@@ -61,11 +61,20 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
     print(f"Running inference on {len(pngs)} images.")
     t0 = time.time()
     count = 0
-    for batch_idx, batch_paths in enumerate(batched(pngs, engine.batch_size)):
-        inputs, previews = format_s2naip_batch(
-            batch_paths, n_lr_images, seed=opt.get("manual_seed", 0) or 0
-        )
-        outputs = engine.run(inputs)
+    batches = batched(pngs, engine.batch_size)
+    seed = opt.get("manual_seed", 0) or 0
+    meta: list = []  # (paths, previews) per batch, in flight order
+
+    def produce():
+        # Decoding happens between device dispatches (run_many keeps one batch
+        # in flight), so host PNG work overlaps accelerator compute.
+        for batch_paths in batches:
+            inputs, previews = format_s2naip_batch(batch_paths, n_lr_images, seed=seed)
+            meta.append((batch_paths, previews))
+            yield inputs
+
+    for outputs in engine.run_many(produce()):
+        batch_paths, previews = meta.pop(0)
         for k, path in enumerate(batch_paths):
             if grid_naming:
                 # Preserve {tile}/{i}_{j}.png for stitching (ssr/infer_grid.py:49-53).

@@ -170,3 +170,27 @@ def test_prefetch_loader_batches(tmp_path, rng):
     batch2 = next(it)
     assert batch2["hr"].shape == (expected, 128, 128, 3)
     loader.stop()
+
+
+def test_dataset_skips_corrupt_png(tmp_path, rng):
+    """Unreadable band files advance the index (s2-naip_dataset.py:181-199)."""
+    s2, naip = _make_tree(tmp_path, rng, chips=3)
+    # corrupt chip 0's tci file
+    chips = sorted(os.listdir(s2))
+    with open(os.path.join(s2, chips[0], "tci.png"), "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot-a-real-png")
+    ds = S2NAIPDataset(_opt(s2, naip))
+    sample = ds[0]  # must advance past the corrupt chip, not raise
+    assert sample["Chip"] != chips[0]
+
+
+def test_dataset_skips_too_few_frames(tmp_path, rng):
+    """Chips with fewer frames than n_s2_images are skipped (lines 202-204)."""
+    s2, naip = _make_tree(tmp_path, rng, chips=3, frames=6)
+    chips = sorted(os.listdir(s2))
+    # rewrite chip 1's tci with only 2 frames (< n_s2_images=4)
+    short = (np.random.RandomState(1).rand(2 * 32, 32, 3) * 254 + 1).astype(np.uint8)
+    write_png(os.path.join(s2, chips[1], "tci.png"), short)
+    ds = S2NAIPDataset(_opt(s2, naip))
+    sample = ds[1]
+    assert sample["Chip"] != chips[1]
