@@ -12,7 +12,7 @@ weights — reproduced here by calling one submodule repeatedly.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

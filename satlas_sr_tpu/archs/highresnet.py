@@ -8,11 +8,10 @@ arch_util.py:331-335, preserved).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from ..registry import ARCH_REGISTRY
 from .blocks import RecursiveFusion

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from ..registry import ARCH_REGISTRY
 from .discriminator import UNetDiscriminatorSN
-from .rrdbnet import lrelu
 
 
 class SelfAttentionBlock(nn.Module):

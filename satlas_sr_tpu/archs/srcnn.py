@@ -12,7 +12,7 @@ output is [B, 1, H_out, W_out, C_out] keeping the revisit placeholder dim.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ shard-safe (each process consumes a disjoint stride of the same stream).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

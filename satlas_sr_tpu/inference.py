@@ -16,7 +16,6 @@ hot loop flagged in SURVEY.md §3.3) with a TPU-first design:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Iterable, List, Optional, Sequence
 
 import jax

@@ -11,7 +11,6 @@ imported checkpoints see identical feature wiring.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def pixel_shuffle(x: jax.Array, scale: int) -> jax.Array:

@@ -18,8 +18,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
-import numpy as np
-
 
 def save_pytree(path: str, tree: Any) -> None:
     from flax import serialization
