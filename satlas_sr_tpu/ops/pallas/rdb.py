@@ -32,9 +32,12 @@ Variants tried and their failure modes (for the next iteration):
   the per-(dy,dx) patch reshapes are materialised as SSA values regardless;
 - fori_loop over taps with pl.ds dynamic offsets: Mosaic cannot statically
   prove the slice bound (dy = k//3 in [0,3)) -> compile error.
-Next ideas: lax.switch over 9 static-slice branches (liveness = 1 branch),
-or a layout where spatial lives on lanes so tap shifts are sublane-offset
-reads, with pltpu.roll for the dx dimension.
+- lax.switch over 9 static-slice branches inside fori_loop: still stack-OOMs
+  even at tile 2 — Mosaic's allocator reserves all branch bodies.
+Remaining idea: a layout where spatial lives on lanes so tap shifts are
+sublane-offset reads (pltpu.roll for dx). Also measured: int8 convs on these
+shapes give <=15% over bf16 (not MXU-peak-bound), so quantisation is not the
+lever either.
 """
 
 from __future__ import annotations
