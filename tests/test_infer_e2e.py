@@ -127,3 +127,35 @@ def test_format_s2naip_prefers_good_frames(rng):
     picked = [stacked[..., 3 * k : 3 * k + 3] for k in range(3)]
     for p in picked:
         assert any(np.array_equal(p, frames[i]) for i in (1, 2, 3))
+
+
+def test_infer_grid_full_tile_stitches(tmp_path, rng):
+    """A full 16x16-chunk tile passes the 256-chunk gate and stitches
+    2048x2048 SR + 512x512 S2 images (ssr/infer_grid.py:70-85 parity)."""
+    from satlas_sr_tpu.infer_grid import main as grid_main
+    import yaml
+
+    tile_dir = tmp_path / "s2" / "tile_7_9"
+    os.makedirs(tile_dir)
+    for i in range(16):
+        for j in range(16):
+            _write_s2_png(tile_dir / f"{i}_{j}.png", rng, n_frames=N_FRAMES)
+
+    save = tmp_path / "out"
+    opt = _opt(tmp_path, tmp_path / "s2", save)
+    opt["batch_size"] = 32
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    grid_main(["-opt", str(opt_path)])
+
+    sr = read_png(str(save / "tile_7_9" / "stitched_sr.png"))
+    s2_img = read_png(str(save / "tile_7_9" / "stitched_s2.png"))
+    assert sr.shape == (2048, 2048, 3)
+    assert s2_img.shape == (512, 512, 3)
+    # stitched S2 equals the first frame of each chunk in place
+    first = read_png(str(tile_dir / "3_5.png")).reshape(-1, 32, 32, 3)[0]
+    np.testing.assert_array_equal(s2_img[3 * 32 : 4 * 32, 5 * 32 : 6 * 32], first)
+    # stitched SR equals the per-chunk sr output in place
+    chunk = read_png(str(save / "tile_7_9" / "3_5.png"))
+    np.testing.assert_array_equal(sr[3 * 128 : 4 * 128, 5 * 128 : 6 * 128], chunk)
