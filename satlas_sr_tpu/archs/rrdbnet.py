@@ -210,6 +210,11 @@ class RRDBNet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     rdb_impl: str = "xla"
+    #: scan unroll factor for the trunk. 1 = rolled loop (fast compile; per
+    #: block weight dynamic-slices). num_block = fully unrolled (slower
+    #: compile, amortised by the persistent cache; lets XLA fuse across block
+    #: boundaries and constant-fold weight slices — inference throughput).
+    trunk_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -228,6 +233,7 @@ class RRDBNet(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_block,
+            unroll=self.trunk_unroll,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )(self.num_feat, self.num_grow_ch, self.dtype, self.remat,
           rdb_impl=self.rdb_impl, name="body")

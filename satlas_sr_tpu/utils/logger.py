@@ -118,6 +118,26 @@ class MessageLogger:
                 self.tb_logger.add_scalar(f"{prefix}{k}", v, current_iter)
 
 
+def init_wandb_logger(opt: Dict[str, Any]) -> None:
+    """wandb init parity stub (reference train.py:12, logger.wandb config keys).
+
+    This environment is offline; if the config asks for a wandb project the
+    request is acknowledged and skipped. With network access and wandb
+    installed, drop-in initialisation happens here.
+    """
+    wandb_opt = (opt.get("logger") or {}).get("wandb") or {}
+    project = wandb_opt.get("project")
+    if not project:
+        return
+    try:
+        import wandb  # type: ignore
+
+        wandb.init(project=project, resume="allow", id=wandb_opt.get("resume_id"),
+                   config=opt, name=opt["name"])
+    except Exception as e:
+        get_root_logger().warning(f"wandb logging requested but unavailable: {e}")
+
+
 def init_tb_logger(opt: Dict[str, Any]):
     logger_opt = opt.get("logger") or {}
     if not logger_opt.get("use_tb_logger") or "debug" in opt["name"]:
