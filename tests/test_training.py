@@ -261,3 +261,46 @@ def test_train_cli_end_to_end(tmp_path, rng):
     assert (exp / "metrics.jsonl").exists()
     vis = exp / "visualization"
     assert any(vis.rglob("*.png"))
+
+
+def test_train_cli_esrgan_with_auto_resume(tmp_path, rng):
+    """ESRGAN through the CLI, then --auto_resume continues from the state."""
+    from satlas_sr_tpu.train import train_pipeline
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["name"] = "cli_esrgan"
+    opt["num_gpu"] = 1
+    opt["train"]["total_iter"] = 2
+    # drop the perceptual loss to keep the CPU step light
+    del opt["train"]["perceptual_opt"]
+    opt["datasets"]["train"]["batch_size_per_gpu"] = 1
+    opt["path"] = {"resume_state": None}
+    opt["logger"]["save_checkpoint_freq"] = 2
+    opt.pop("is_train", None)
+    opt.pop("rank", None); opt.pop("world_size", None); opt.pop("seed_with_rank", None)
+    opt["val"] = None
+
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
+    exp = tmp_path / "experiments" / "cli_esrgan"
+    assert (exp / "models" / "net_g_2.msgpack").exists()
+    assert (exp / "models" / "net_d_2.msgpack").exists()
+    assert (exp / "training_states" / "2.state").exists()
+
+    # bump total_iter and auto-resume: training continues from iter 2
+    opt["train"]["total_iter"] = 3
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path), "--auto_resume"])
+    assert (exp / "models" / "net_g_latest.msgpack").exists()
+    import json as _json
+
+    lines = [
+        _json.loads(l) for l in open(exp / "metrics.jsonl").read().splitlines()
+    ]
+    # second run logged iter 3 (not restarting at 1)
+    assert any(l["iter"] == 3 for l in lines)
