@@ -232,9 +232,15 @@ class ESRGANModel(BaseModel):
                 }
                 return g_params, g_opt, out, spectral, zero_logs
 
-            new_g_params, new_g_opt, output, spectral1, g_logs = jax.lax.cond(
-                do_g, g_update, g_skip, operand=None
-            )
+            if net_d_iters == 1 and net_d_init_iters == 0:
+                # Gate is always-true for the shipped configs: elide the cond
+                # so XLA sees one straight-line program (smaller compile, and
+                # fusion across the G/D boundary is not blocked by a branch).
+                new_g_params, new_g_opt, output, spectral1, g_logs = g_update(None)
+            else:
+                new_g_params, new_g_opt, output, spectral1, g_logs = jax.lax.cond(
+                    do_g, g_update, g_skip, operand=None
+                )
 
             # --- discriminator step (real then fake, summed grads) ---
             real_in = self._disc_input(gan_gt, lr_resized, old_hr)

@@ -132,9 +132,12 @@ class OSMObjESRGANModel(ESRGANModel):
                 }
                 return g_params, g_opt, out, gen_objs, spectral, zero_logs
 
-            new_g_params, new_g_opt, output, gen_objs, spectral1, g_logs = jax.lax.cond(
-                do_g, g_update, g_skip, operand=None
-            )
+            if net_d_iters == 1 and net_d_init_iters == 0:
+                new_g_params, new_g_opt, output, gen_objs, spectral1, g_logs = g_update(None)
+            else:
+                new_g_params, new_g_opt, output, gen_objs, spectral1, g_logs = jax.lax.cond(
+                    do_g, g_update, g_skip, operand=None
+                )
 
             real_in = self._disc_input(gan_gt, lr_resized, old_hr)
             fake_in = self._disc_input(jax.lax.stop_gradient(output), lr_resized, old_hr)
