@@ -56,6 +56,11 @@ class L2Model(BaseModel):
             "opt": opt_state,
             "rng": rng,
         }
+        # EMA support mirrors the basicsr SRModel base (srcnn/highresnet
+        # released checkpoints carry params_ema); eval still uses the raw
+        # params — the reference L2Model.test() does too (ssr_l2_model.py:56).
+        if opt.get("is_train") and self.ema_decay > 0:
+            self.state["ema"] = jax.tree.map(jnp.array, params)
         self.torch_export = {"g": opt["network_g"]["type"]}
         self.replicate_state()
         self._train_step = self._build_train_step() if opt.get("is_train") else None
@@ -66,6 +71,7 @@ class L2Model(BaseModel):
     def _build_train_step(self):
         model = self.net_g
         tx = self.tx
+        ema_decay = self.ema_decay
 
         def step(state, lr_u8, hr_u8):
             rng, dropout_rng = jax.random.split(state["rng"])
@@ -98,6 +104,10 @@ class L2Model(BaseModel):
                 "opt": new_opt,
                 "rng": rng,
             }
+            if "ema" in state:
+                from .base import ema_update
+
+                new_state["ema"] = ema_update(state["ema"], new_params, ema_decay)
             return new_state, logs
 
         return jax.jit(step, donate_argnums=(0,))
@@ -140,4 +150,5 @@ class L2Model(BaseModel):
         return np.asarray(out)
 
     def network_checkpoints(self) -> Dict[str, Dict[str, Any]]:
-        return {"g": {"params": self.state["params"], "params_ema": self.state["params"]}}
+        ema = self.state.get("ema", self.state["params"])
+        return {"g": {"params": self.state["params"], "params_ema": ema}}

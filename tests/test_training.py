@@ -304,3 +304,36 @@ def test_train_cli_esrgan_with_auto_resume(tmp_path, rng):
     ]
     # second run logged iter 3 (not restarting at 1)
     assert any(l["iter"] == 3 for l in lines)
+
+
+def test_l2_ema_maintained(tmp_path, rng):
+    """ema_decay in an L2 config maintains params_ema (SRModel base parity)."""
+    from satlas_sr_tpu.models import build_model
+    import jax
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _base_opt(tmp_path, s2, naip, "srcnn_ema")
+    opt["datasets"]["train"]["use_3d"] = True
+    opt.update({
+        "model_type": "L2Model",
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "train": {"ema_decay": 0.99,
+                  "optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [100], "gamma": 0.5},
+                  "total_iter": 2, "warmup_iter": -1},
+    })
+    model = build_model(opt)
+    assert "ema" in model.state
+    batch = {"lr": (rng.rand(2, 2, 32, 32, 3) * 255).astype(np.uint8),
+             "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8)}
+    model.train_iter(batch, 1)
+    model.train_iter(batch, 2)
+    ema = jax.device_get(model.state["ema"])
+    params = jax.device_get(model.state["params"])
+    diffs = jax.tree.leaves(jax.tree.map(lambda a, b: float(np.abs(a - b).max()), ema, params))
+    assert max(diffs) > 0  # ema trails the raw params
+    nets = model.network_checkpoints()
+    assert nets["g"]["params_ema"] is model.state["ema"]
