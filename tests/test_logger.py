@@ -1,0 +1,70 @@
+"""Logging surface tests: MessageLogger formatting/sinks + AvgTimer."""
+
+import json
+import time
+
+import numpy as np
+
+from satlas_sr_tpu.utils.logger import AvgTimer, MessageLogger
+
+
+def test_message_logger_jsonl_and_format(tmp_path, capsys):
+    opt = {
+        "name": "exp_name_that_is_quite_long_indeed",
+        "train": {"total_iter": 1000},
+        "logger": {"print_freq": 1},
+        "path": {"log": str(tmp_path)},
+    }
+    ml = MessageLogger(opt, start_iter=0)
+    import jax.numpy as jnp
+
+    ml({"epoch": 1, "iter": 10, "lrs": [1e-4, 2e-4], "time": 0.5, "data_time": 0.1,
+        "l_g_pix": jnp.asarray(0.25), "psnr": 31.5})
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[-1]["iter"] == 10
+    assert abs(lines[-1]["l_g_pix"] - 0.25) < 1e-9
+    assert abs(lines[-1]["psnr"] - 31.5) < 1e-9
+
+
+def test_avg_timer():
+    t = AvgTimer()
+    t.start()
+    time.sleep(0.02)
+    t.record()
+    assert 0.01 < t.get_avg_time() < 1.0
+
+
+def test_convert_checkpoint_roundtrip(tmp_path, rng):
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from satlas_sr_tpu.archs import RRDBNet
+    from satlas_sr_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    model = RRDBNet(num_in_ch=6, num_out_ch=3, num_feat=8, num_block=1, num_grow_ch=4)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 6))))
+    msgpack_path = tmp_path / "net.msgpack"
+    save_pytree(str(msgpack_path), variables)
+
+    pth_path = tmp_path / "net.pth"
+    env = {"JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    r1 = subprocess.run(
+        [sys.executable, "scripts/convert_checkpoint.py", "to_pth",
+         str(msgpack_path), str(pth_path), "SSR_RRDBNet"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r1.returncode == 0, r1.stderr[-500:]
+    back_path = tmp_path / "back.msgpack"
+    r2 = subprocess.run(
+        [sys.executable, "scripts/convert_checkpoint.py", "from_pth",
+         str(pth_path), str(back_path), "SSR_RRDBNet", "params", "1"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-500:]
+    back = load_pytree(str(back_path))
+    same = jax.tree.map(lambda a, b: bool(np.allclose(a, b)),
+                        variables["params"], back["params"])
+    assert all(jax.tree.leaves(same))
