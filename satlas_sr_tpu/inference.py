@@ -56,7 +56,12 @@ class InferenceEngine:
                 else v,
                 variables,
             )
-        self.variables = jax.device_put(variables)
+        if self.mesh is not None:
+            from .parallel.mesh import replicate_tree
+
+            self.variables = replicate_tree(self.mesh, variables)
+        else:
+            self.variables = jax.device_put(variables)
         self._precision = matmul_precision
 
         @jax.jit

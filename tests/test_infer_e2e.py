@@ -159,3 +159,21 @@ def test_infer_grid_full_tile_stitches(tmp_path, rng):
     # stitched SR equals the per-chunk sr output in place
     chunk = read_png(str(save / "tile_7_9" / "3_5.png"))
     np.testing.assert_array_equal(sr[3 * 128 : 4 * 128, 5 * 128 : 6 * 128], chunk)
+
+
+def test_inference_engine_mesh_equals_single_device(rng):
+    """Sharded 8-device execution gives the same outputs as unsharded."""
+    from satlas_sr_tpu.inference import InferenceEngine
+
+    model = RRDBNet(**TINY_NET)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, N_FRAMES * 3)))
+    x = (rng.rand(16, 32, 32, N_FRAMES * 3) * 255).astype(np.uint8)
+    eng_mesh = InferenceEngine(model, variables, batch_size=16, use_mesh=True)
+    eng_solo = InferenceEngine(model, variables, batch_size=16, use_mesh=False)
+    y_mesh = eng_mesh.run(x)
+    y_solo = eng_solo.run(x)
+    # identical math; uint8 rounding may flip by 1 at fusion boundaries
+    assert np.abs(y_mesh.astype(int) - y_solo.astype(int)).max() <= 1
+    # and the batch really is sharded over all devices
+    put = eng_mesh._put(x)
+    assert len(put.sharding.device_set) == 8
