@@ -177,3 +177,26 @@ def test_inference_engine_mesh_equals_single_device(rng):
     # and the batch really is sharded over all devices
     put = eng_mesh._put(x)
     assert len(put.sharding.device_set) == 8
+
+
+def test_infer_single_frame_esrgan_1s2(tmp_path, rng):
+    """esrgan_1S2 shape: n_lr_images=1 -> num_in_ch=3 (BASELINE.json config)."""
+    from satlas_sr_tpu.infer import run_inference
+
+    model = RRDBNet(num_in_ch=3, num_out_ch=3, num_feat=8, num_block=1, num_grow_ch=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    weights = str(tmp_path / "net_g_1s2.pth")
+    torch_io.save_torch_state_dict(weights, torch_io.rrdbnet_to_torch(variables),
+                                   param_key="params_ema")
+    data_dir = tmp_path / "s2" / "sub"
+    os.makedirs(data_dir)
+    _write_s2_png(data_dir / "0.png", rng, n_frames=3)
+    opt = {
+        "data_dir": str(tmp_path / "s2"), "save_path": str(tmp_path / "out"),
+        "n_lr_images": 1, "scale": 4, "batch_size": 8,
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": 3, "num_out_ch": 3,
+                      "num_feat": 8, "num_block": 1, "num_grow_ch": 4},
+        "path": {"pretrain_network_g": weights, "param_key_g": "params_ema"},
+    }
+    assert run_inference(opt) == 1
+    assert read_png(str(tmp_path / "out" / "0" / "sr.png")).shape == (128, 128, 3)

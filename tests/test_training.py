@@ -337,3 +337,46 @@ def test_l2_ema_maintained(tmp_path, rng):
     assert max(diffs) > 0  # ema trails the raw params
     nets = model.network_checkpoints()
     assert nets["g"]["params_ema"] is model.state["ema"]
+
+
+def test_train_cli_with_tile_weights(tmp_path, rng):
+    """Weighted tile sampling wired through the train CLI (BASELINE config)."""
+    import json as _json
+    from satlas_sr_tpu.train import train_pipeline
+
+    s2, naip = _make_tree(tmp_path, rng)
+    # weight chip 0 overwhelmingly
+    import glob
+
+    chips = sorted(os.path.basename(os.path.dirname(p))
+                   for p in glob.glob(naip + "/*/*.png"))
+    tw = {chips[0]: 1000.0}
+    tw_path = tmp_path / "weights.json"
+    with open(tw_path, "w") as f:
+        _json.dump(tw, f)
+
+    opt = {
+        "name": "cli_tw", "model_type": "L2Model", "scale": 4, "num_gpu": 1,
+        "manual_seed": 0,
+        "datasets": {"train": {
+            "name": "train", "type": "S2NAIPDataset", "sentinel2_path": s2,
+            "naip_path": naip, "n_s2_images": 2, "use_3d": True,
+            "use_shuffle": False, "batch_size_per_gpu": 1,
+            "num_worker_per_gpu": 1, "tile_weights": str(tw_path),
+        }},
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "path": {"resume_state": None},
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [10], "gamma": 0.5},
+                  "total_iter": 2, "warmup_iter": -1},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 100},
+    }
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
+    exp = tmp_path / "experiments" / "cli_tw"
+    assert (exp / "metrics.jsonl").exists()
