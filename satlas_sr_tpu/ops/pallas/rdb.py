@@ -34,10 +34,15 @@ Variants tried and their failure modes (for the next iteration):
   prove the slice bound (dy = k//3 in [0,3)) -> compile error.
 - lax.switch over 9 static-slice branches inside fori_loop: still stack-OOMs
   even at tile 2 — Mosaic's allocator reserves all branch bodies.
-Remaining idea: a layout where spatial lives on lanes so tap shifts are
-sublane-offset reads (pltpu.roll for dx). Also measured: int8 convs on these
-shapes give <=15% over bf16 (not MXU-peak-bound), so quantisation is not the
-lever either.
+- TRANSPOSED layout (C, H+2, T*W): dy taps become cheap sublane-offset views;
+  dx handled by 3 pltpu.roll lane-rotated buffers (roll must run in f32 —
+  "Rotate with non-32-bit data"); K-packing the 3 dx variants along C gives
+  one K=3*Cin matmul per dy. Best measured: 478 rdb-calls/s at batch 256
+  (T=4 + scratch partial refs; SSA partials 436; T=8 still VMEM-OOM) vs the
+  XLA conv graph's ~862 equivalent. Closed 2x of the gap but XLA's conv
+  emitter still wins — its tap handling beats the 3-matmul decomposition.
+Also measured: int8 convs on these shapes give <=15% over bf16 (not
+MXU-peak-bound), so quantisation is not the lever either.
 """
 
 from __future__ import annotations
