@@ -313,10 +313,10 @@ class DCNv2Pack(nn.Module):
                               name="conv_offset", dtype=self.dtype,
                               kernel_init=nn.initializers.zeros)(feat)
         o1, o2, mask = jnp.split(conv_offset, 3, axis=-1)
+        # mmcv DCNv2Pack feeds cat((o1, o2)) to a kernel that reads the flat
+        # channel stream as interleaved (dy, dx) pairs per tap — i.e. tap k's
+        # (dy, dx) are channels (2k, 2k+1) of the concatenation.
         offsets = jnp.concatenate([o1, o2], axis=-1)
-        # interleave (dy, dx) per tap to torch channel order
-        n, h, w, _ = offsets.shape
-        offsets = jnp.stack([o1, o2], axis=-1).reshape(n, h, w, 2 * n_taps)
         mask = jax.nn.sigmoid(mask)
         kernel = self.param(
             "kernel",

@@ -54,18 +54,33 @@ class PrefetchLoader:
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
         self._index_lock = threading.Lock()
         self._index_iter = iter(sampler)
+        self._draws = 0
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
-    def _next_indices(self) -> Optional[List[int]]:
+    def _next_indices(self) -> Optional[List[tuple]]:
+        """Hand a worker a batch of (index, draw_ordinal) pairs.
+
+        The draw ordinal is assigned under the sequencer lock, so the mapping
+        draw -> (index, salt) is deterministic regardless of which worker
+        thread ends up loading it — the salt feeds the dataset's per-item RNG
+        (frame sampling / rand_crop) in place of a racy shared epoch counter.
+        """
         with self._index_lock:
             out = []
             try:
                 for _ in range(self.batch_size):
-                    out.append(next(self._index_iter))
+                    out.append((next(self._index_iter), self._draws))
+                    self._draws += 1
             except StopIteration:
                 pass
         return out or None
+
+    def _load(self, index: int, salt: int):
+        sample_fn = getattr(self.dataset, "sample", None)
+        if sample_fn is not None:
+            return sample_fn(index, salt)
+        return self.dataset[index]
 
     def _worker(self) -> None:
         while not self._stop.is_set():
@@ -73,7 +88,7 @@ class PrefetchLoader:
             if indices is None:
                 self._queue.put(None)
                 return
-            batch = self.collate([self.dataset[i] for i in indices])
+            batch = self.collate([self._load(i, salt) for i, salt in indices])
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.2)
@@ -97,9 +112,22 @@ class PrefetchLoader:
         except queue.Empty:
             pass
 
+    def _restart(self) -> None:
+        """Fresh pass over a finite sampler: new index stream + workers."""
+        self.stop()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []
+        self._stop = threading.Event()
+        self._queue = queue.Queue(maxsize=self.prefetch_depth)
+        self._index_iter = iter(self.sampler)
+        self.start()
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if not self._threads:
             self.start()
+        elif all(not t.is_alive() for t in self._threads):
+            self._restart()  # previous (finite) pass exhausted its workers
         finished = 0
         while True:
             item = self._queue.get()

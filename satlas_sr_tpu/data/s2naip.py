@@ -30,7 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional  # noqa: F401
 
 import numpy as np
 
@@ -143,9 +143,10 @@ class S2NAIPDataset:
 
     # -- item loading --------------------------------------------------------
 
-    def _rng_for(self, index: int) -> np.random.RandomState:
+    def _rng_for(self, index: int, salt: Optional[int] = None) -> np.random.RandomState:
+        salt = self.epoch if salt is None else salt
         return np.random.RandomState(
-            (self.seed * 1_000_003 + self.epoch * 10_007 + index) % (2**31 - 1)
+            (self.seed * 1_000_003 + salt * 10_007 + index) % (2**31 - 1)
         )
 
     def _load_bands(self, s2_paths: List[str]) -> Optional[np.ndarray]:
@@ -184,7 +185,21 @@ class S2NAIPDataset:
             out.append(frames)
         return np.concatenate(out, axis=-1)
 
+    def sample(self, index: int, salt: int) -> Dict[str, Any]:
+        """Load an item with an explicit RNG salt.
+
+        The prefetch loader assigns a deterministic draw ordinal as the salt
+        (under its sequencer lock), so repeated visits to a chip resample
+        frames/crops while the overall stream stays bit-reproducible no matter
+        how worker threads interleave. Plain __getitem__ salts with the
+        dataset-level epoch instead.
+        """
+        return self._load(index, salt)
+
     def __getitem__(self, index: int) -> Dict[str, Any]:
+        return self._load(index, None)
+
+    def _load(self, index: int, salt: Optional[int]) -> Dict[str, Any]:
         counter = 0
         while True:
             index += counter
@@ -206,7 +221,7 @@ class S2NAIPDataset:
                 counter += 1
                 continue
 
-            rng = self._rng_for(index)
+            rng = self._rng_for(index, salt)
             tci = s2[..., :3]
             frame_is_bad = np.array([has_black_pixels(t) for t in tci])
             from ..utils.infer_utils import select_frames

@@ -109,6 +109,10 @@ def vgg19_features(
             # 2x2/2 maxpool as elementwise max of the four disjoint-window
             # slices: identical result, and (unlike reduce_window_max) it
             # linearizes under grad-inside-lax.cond (the GAN step's G gating).
+            # Torch floors odd dims: crop to even before slicing.
+            eh = (h.shape[1] // 2) * 2
+            ew = (h.shape[2] // 2) * 2
+            h = h[:, :eh, :ew, :]
             h = jnp.maximum(
                 jnp.maximum(h[:, 0::2, 0::2, :], h[:, 1::2, 0::2, :]),
                 jnp.maximum(h[:, 0::2, 1::2, :], h[:, 1::2, 1::2, :]),

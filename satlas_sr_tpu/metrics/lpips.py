@@ -1,4 +1,4 @@
-"""LPIPS perceptual distance metric (vgg/alex flavours), in JAX.
+"""LPIPS perceptual distance metric (vgg backbone; the shipped configs' choice), in JAX.
 
 Parity target: ssr/metrics/lpips.py:7-21 (lpips package, configs use `vgg`).
 Unlike the reference — which re-instantiates the LPIPS model on every metric
@@ -29,7 +29,6 @@ from ..registry import METRIC_REGISTRY
 _VGG16_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
                512, 512, 512]
 _VGG16_TAPS = [1, 3, 6, 9, 12]  # conv indices (0-based among convs) to tap after relu
-_ALEX_PLAN = [(96, 11, 4, 0), (256, 5, 1, 2), (384, 3, 1, 1), (384, 3, 1, 1), (256, 3, 1, 1)]
 
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
@@ -92,6 +91,9 @@ def _vgg16_features(convs, x: jax.Array) -> List[jax.Array]:
     ci = 0
     for item in _VGG16_PLAN:
         if item == "M":
+            eh = (h.shape[1] // 2) * 2
+            ew = (h.shape[2] // 2) * 2
+            h = h[:, :eh, :ew, :]
             h = jnp.maximum(
                 jnp.maximum(h[:, 0::2, 0::2, :], h[:, 1::2, 0::2, :]),
                 jnp.maximum(h[:, 0::2, 1::2, :], h[:, 1::2, 1::2, :]),
@@ -156,6 +158,12 @@ def _build_lpips(model_name: str, weights_path: Optional[str]):
 @METRIC_REGISTRY.register("calculate_lpips")
 def calculate_lpips(img, img2, lpips_model="vgg", lpips_weights_path=None, **kwargs) -> float:
     """uint8 HWC images -> LPIPS distance (lower better)."""
+    if lpips_model != "vgg":
+        raise ValueError(
+            f"lpips_model={lpips_model!r} not wired (vgg only — the shipped "
+            "configs use vgg; alex backbone import is a ROADMAP item)"
+        )
+    lpips_weights_path = lpips_weights_path or os.environ.get("SSR_TPU_LPIPS_WEIGHTS")
     distance, _ = _build_lpips(lpips_model, lpips_weights_path)
     a = jnp.asarray(img, jnp.float32)[None] / 255.0
     b = jnp.asarray(img2, jnp.float32)[None] / 255.0

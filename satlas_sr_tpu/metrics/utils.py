@@ -35,9 +35,20 @@ def bgr2ycbcr(img: np.ndarray, y_only: bool = False) -> np.ndarray:
     return out / 255.0
 
 
+def rgb2ycbcr_y(img: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range luma for RGB-ordered float images in [0, 1]."""
+    return (np.dot(img, [65.481, 128.553, 24.966]) + 16.0) / 255.0
+
+
 def to_y_channel(img: np.ndarray) -> np.ndarray:
+    """Luma extraction for the y-channel metric options.
+
+    This framework is RGB end-to-end (utils/imgio.py), unlike the reference's
+    cv2/BGR convention — so the RGB coefficient order is used; applying the
+    reference's bgr2ycbcr verbatim here would swap the R and B luma weights.
+    """
     img = img.astype(np.float32) / 255.0
     if img.ndim == 3 and img.shape[2] == 3:
-        img = bgr2ycbcr(img, y_only=True)
+        img = rgb2ycbcr_y(img)
         img = img[..., None]
     return img * 255.0

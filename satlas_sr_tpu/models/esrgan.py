@@ -105,9 +105,16 @@ class ESRGANModel(BaseModel):
                 spectral = pre_d.get("spectral", spectral)
 
             self.cri_pix = build_loss(train_opt["pixel_opt"]) if train_opt.get("pixel_opt") else None
-            self.cri_perceptual = (
-                build_loss(train_opt["perceptual_opt"]) if train_opt.get("perceptual_opt") else None
-            )
+            percep_opt = train_opt.get("perceptual_opt") or {}
+            self.cri_perceptual = build_loss(percep_opt) if percep_opt else None
+            # Which perceptual components exist is static (weights in config);
+            # needed so the cond skip-branch zero-logs match g_update's keys.
+            self._has_percep = bool(percep_opt) and float(
+                percep_opt.get("perceptual_weight", 1.0)
+            ) > 0
+            self._has_style = bool(percep_opt) and float(
+                percep_opt.get("style_weight", 0) or 0
+            ) > 0
             self.cri_gan = (
                 build_loss(train_opt["gan_opt"]) if train_opt.get("gan_opt") else build_gan()
             )
@@ -282,11 +289,14 @@ class ESRGANModel(BaseModel):
         return jax.jit(step, donate_argnums=(0,))
 
     def _g_log_keys(self):
+        """Exactly the keys g_update logs — both lax.cond branches must match."""
         keys = []
         if self.cri_pix is not None:
             keys.append("l_g_pix")
-        if self.cri_perceptual is not None:
+        if self._has_percep:
             keys.append("l_g_percep")
+        if self._has_style:
+            keys.append("l_g_style")
         if self.ssim_loss is not None:
             keys.append("l_g_ssim")
         keys.append("l_g_gan")

@@ -30,9 +30,13 @@ def crop_resize_boxes(img: jax.Array, boxes: jax.Array, out_size: int = 32) -> j
         x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
         bh = (y2 - y1).astype(jnp.float32)
         bw = (x2 - x1).astype(jnp.float32)
-        # Half-pixel-centre source coordinates within the box region.
+        # Half-pixel-centre source coordinates within the box region, clamped
+        # to the BOX interior (torchvision resizes the cropped tensor, whose
+        # edge replication stops at the crop boundary — not the full image).
         ys = (jnp.arange(s, dtype=jnp.float32) + 0.5) * (bh / s) - 0.5 + y1
         xs = (jnp.arange(s, dtype=jnp.float32) + 0.5) * (bw / s) - 0.5 + x1
+        ys = jnp.clip(ys, y1.astype(jnp.float32), y2.astype(jnp.float32) - 1.0)
+        xs = jnp.clip(xs, x1.astype(jnp.float32), x2.astype(jnp.float32) - 1.0)
         ys = jnp.clip(ys, 0.0, h - 1.0)
         xs = jnp.clip(xs, 0.0, w - 1.0)
         y0 = jnp.floor(ys).astype(jnp.int32)

@@ -122,10 +122,8 @@ def train_pipeline(root_path: str, argv=None) -> None:
             data_timer.record()
             current_iter += 1
             epoch = current_iter // iters_per_epoch
-            # Advance the dataset's epoch-seeded RNG stream so repeated visits
-            # to a chip resample frames (reference uses process-global random).
-            if hasattr(train_set, "set_epoch"):
-                train_set.set_epoch(epoch)
+            # (Frame/crop resampling across repeated chip visits is handled by
+            # the loader's deterministic per-draw salt — see PrefetchLoader.)
 
             if profile_iters and current_iter == profile_start and not profiling:
                 jax.profiler.start_trace(profile_dir)

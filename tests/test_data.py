@@ -194,3 +194,31 @@ def test_dataset_skips_too_few_frames(tmp_path, rng):
     ds = S2NAIPDataset(_opt(s2, naip))
     sample = ds[1]
     assert sample["Chip"] != chips[1]
+
+
+def test_prefetch_loader_restarts_finite_sampler(tmp_path, rng):
+    """Regression: re-iterating an exhausted finite sampler must not hang."""
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = S2NAIPDataset(_opt(s2, naip))
+
+    class FiniteSampler:
+        def __iter__(self):
+            return iter(range(len(ds)))
+
+    loader = PrefetchLoader(ds, FiniteSampler(), batch_size=2, num_workers=2)
+    first = list(loader)
+    assert sum(b["hr"].shape[0] for b in first) == 4
+    second = list(loader)  # restarts workers for a fresh pass
+    assert sum(b["hr"].shape[0] for b in second) == 4
+    loader.stop()
+
+
+def test_loader_salt_resamples_frames(tmp_path, rng):
+    """Repeated visits to the same chip get fresh frame draws via the salt."""
+    s2, naip = _make_tree(tmp_path, rng, chips=1, frames=8)
+    ds = S2NAIPDataset(_opt(s2, naip, n_s2_images=2))
+    a = ds.sample(0, salt=0)["lr"]
+    b = ds.sample(0, salt=1)["lr"]
+    c = ds.sample(0, salt=0)["lr"]
+    np.testing.assert_array_equal(a, c)  # same salt -> identical
+    assert not np.array_equal(a, b)  # different salt -> resampled (8C2 space)

@@ -174,3 +174,29 @@ def test_bf16_training_step(tmp_path, rng):
 
     assert all(p.dtype == jnp.float32
                for p in jax.tree.leaves(model.state["g"]["params"]))
+
+
+def test_style_loss_with_gated_g(tmp_path, rng):
+    """Regression: style_weight>0 + net_d_init_iters>0 must not crash the
+    lax.cond (skip-branch zero-logs must match g_update's key set)."""
+    from satlas_sr_tpu.models import build_model
+
+    _make_tree(tmp_path, rng)
+    opt = _gan_opt(tmp_path, "style_gated")
+    opt["train"]["net_d_init_iters"] = 1  # gate exactly the first step
+    opt["train"]["perceptual_opt"] = {
+        "type": "PerceptualLoss",
+        "layer_weights": {"conv1_2": 0.1},
+        "vgg_type": "vgg19", "use_input_norm": True,
+        "perceptual_weight": 1.0, "style_weight": 0.5,
+        "range_norm": False, "criterion": "l1",
+    }
+    model = build_model(opt)
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)  # internal step 1 <= init_iters: gated
+    assert logs["l_g_style"] == 0.0 and logs["l_g_percep"] == 0.0
+    logs2 = model.train_iter(batch, 2)  # internal step 2: ungated
+    assert logs2["l_g_style"] > 0 and logs2["l_g_percep"] > 0
