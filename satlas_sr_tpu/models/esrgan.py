@@ -162,27 +162,64 @@ class ESRGANModel(BaseModel):
             parts.append(old_hr)
         return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else img
 
+    def _prep_step_inputs(self, lr_u8, hr_u8, old_hr_u8):
+        """uint8 batch -> normalised lr/old_hr, USM-selected GT variants."""
+        lr = lr_u8.astype(jnp.float32) / 255.0
+        gt = hr_u8.astype(jnp.float32) / 255.0
+        old_hr = old_hr_u8.astype(jnp.float32) / 255.0 if old_hr_u8 is not None else None
+        gt_usm = usm_sharp(gt)
+        l1_gt = gt_usm if self.l1_gt_usm else gt
+        percep_gt = gt_usm if self.percep_gt_usm else gt
+        gan_gt = gt_usm if self.gan_gt_usm else gt
+        lr_resized = upsample_nearest(lr, self.scale)
+        return lr, old_hr, l1_gt, percep_gt, gan_gt, lr_resized
+
+    def _g_content_losses(self, out, l1_gt, percep_gt):
+        """Pixel + perceptual(+style) + SSIM terms shared by both GAN trainers."""
+        total = jnp.zeros((), jnp.float32)
+        logs = {}
+        if self.cri_pix is not None:
+            l_pix = self.cri_pix(out, l1_gt)
+            total += l_pix
+            logs["l_g_pix"] = l_pix
+        if self.cri_perceptual is not None:
+            l_percep, l_style = self.cri_perceptual(out, percep_gt)
+            if l_percep is not None:
+                total += l_percep
+                logs["l_g_percep"] = l_percep
+            if l_style is not None:
+                total += l_style
+                logs["l_g_style"] = l_style
+        if self.ssim_loss is not None:
+            l_ssim = self.ssim_loss(out, percep_gt)
+            total += l_ssim
+            logs["l_g_ssim"] = l_ssim
+        return total, logs
+
+    def _g_clip_loss(self, out, l1_gt, total, logs):
+        if self.clip_sim is not None:
+            l_clip = self.clip_sim(out, l1_gt)
+            total += l_clip
+            logs["l_clip_sim"] = l_clip
+        return total, logs
+
+    @staticmethod
+    def _apply_opt(tx, grads, opt_state, params):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda a, b: a + b, params, updates), new_opt
+
     def _build_train_step(self):
         net_g, net_d = self.net_g, self.net_d
         tx_g, tx_d = self.tx_g, self.tx_d
-        cri_pix, cri_perceptual = self.cri_pix, self.cri_perceptual
-        cri_gan, ssim_loss, clip_sim = self.cri_gan, self.ssim_loss, self.clip_sim
+        cri_gan = self.cri_gan
         ema_decay = self.ema_decay
         net_d_iters, net_d_init_iters = self.net_d_iters, self.net_d_init_iters
-        scale = self.scale
 
         def step(state, lr_u8, hr_u8, old_hr_u8):
             current_iter = state["step"] + 1
-            lr = lr_u8.astype(jnp.float32) / 255.0
-            gt = hr_u8.astype(jnp.float32) / 255.0
-            old_hr = (
-                old_hr_u8.astype(jnp.float32) / 255.0 if old_hr_u8 is not None else None
+            lr, old_hr, l1_gt, percep_gt, gan_gt, lr_resized = self._prep_step_inputs(
+                lr_u8, hr_u8, old_hr_u8
             )
-            gt_usm = usm_sharp(gt)
-            l1_gt = gt_usm if self.l1_gt_usm else gt
-            percep_gt = gt_usm if self.percep_gt_usm else gt
-            gan_gt = gt_usm if self.gan_gt_usm else gt
-            lr_resized = upsample_nearest(lr, scale)
 
             g_params, g_opt = state["g"]["params"], state["g"]["opt"]
             d_params, spectral = state["d"]["params"], state["d"]["spectral"]
@@ -194,24 +231,7 @@ class ESRGANModel(BaseModel):
             def g_update(_):
                 def loss_fn(p):
                     out = net_g.apply({"params": p}, lr)
-                    total = jnp.zeros((), jnp.float32)
-                    logs = {}
-                    if cri_pix is not None:
-                        l_pix = cri_pix(out, l1_gt)
-                        total += l_pix
-                        logs["l_g_pix"] = l_pix
-                    if cri_perceptual is not None:
-                        l_percep, l_style = cri_perceptual(out, percep_gt)
-                        if l_percep is not None:
-                            total += l_percep
-                            logs["l_g_percep"] = l_percep
-                        if l_style is not None:
-                            total += l_style
-                            logs["l_g_style"] = l_style
-                    if ssim_loss is not None:
-                        l_ssim = ssim_loss(out, percep_gt)
-                        total += l_ssim
-                        logs["l_g_ssim"] = l_ssim
+                    total, logs = self._g_content_losses(out, l1_gt, percep_gt)
                     disc_in = self._disc_input(out, lr_resized, old_hr)
                     fake_pred, mut = net_d.apply(
                         {"params": d_params, "spectral": spectral},
@@ -220,15 +240,11 @@ class ESRGANModel(BaseModel):
                     l_gan = cri_gan(fake_pred, True, is_disc=False)
                     total += l_gan
                     logs["l_g_gan"] = l_gan
-                    if clip_sim is not None:
-                        l_clip = clip_sim(out, l1_gt)
-                        total += l_clip
-                        logs["l_clip_sim"] = l_clip
+                    total, logs = self._g_clip_loss(out, l1_gt, total, logs)
                     return total, (logs, out, mut["spectral"])
 
                 grads, (logs, out, new_spectral) = jax.grad(loss_fn, has_aux=True)(g_params)
-                updates, new_opt = tx_g.update(grads, g_opt, g_params)
-                new_params = jax.tree.map(lambda a, b: a + b, g_params, updates)
+                new_params, new_opt = self._apply_opt(tx_g, grads, g_opt, g_params)
                 return new_params, new_opt, out, new_spectral, logs
 
             def g_skip(_):
@@ -273,8 +289,7 @@ class ESRGANModel(BaseModel):
                 return l_d_real + l_d_fake, (logs, mut2["spectral"])
 
             d_grads, (d_logs, new_spectral) = jax.grad(d_loss_fn, has_aux=True)(d_params)
-            d_updates, new_d_opt = tx_d.update(d_grads, state["d"]["opt"], d_params)
-            new_d_params = jax.tree.map(lambda a, b: a + b, d_params, d_updates)
+            new_d_params, new_d_opt = self._apply_opt(tx_d, d_grads, state["d"]["opt"], d_params)
 
             new_state = {
                 "step": current_iter,

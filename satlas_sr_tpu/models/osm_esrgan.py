@@ -23,8 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.crop import crop_resize_boxes
-from ..ops.resize import upsample_nearest
-from ..ops.usm import usm_sharp
 from ..registry import MODEL_REGISTRY
 from .base import ema_update
 from .esrgan import ESRGANModel
@@ -50,28 +48,20 @@ class OSMObjESRGANModel(ESRGANModel):
     def _build_train_step(self):
         net_g, net_d = self.net_g, self.net_d
         tx_g, tx_d = self.tx_g, self.tx_d
-        cri_pix, cri_perceptual = self.cri_pix, self.cri_perceptual
-        cri_gan, ssim_loss, clip_sim = self.cri_gan, self.ssim_loss, self.clip_sim
+        cri_gan = self.cri_gan
         ema_decay = self.ema_decay
         net_d_iters, net_d_init_iters = self.net_d_iters, self.net_d_init_iters
-        scale = self.scale
         obj_w = self.osm_obj_weight
 
         def step(state, lr_u8, hr_u8, old_hr_u8, boxes):
             current_iter = state["step"] + 1
-            lr = lr_u8.astype(jnp.float32) / 255.0
-            gt = hr_u8.astype(jnp.float32) / 255.0
-            old_hr = old_hr_u8.astype(jnp.float32) / 255.0 if old_hr_u8 is not None else None
-            gt_usm = usm_sharp(gt)
-            l1_gt = gt_usm if self.l1_gt_usm else gt
-            percep_gt = gt_usm if self.percep_gt_usm else gt
-            gan_gt = gt_usm if self.gan_gt_usm else gt
-            lr_resized = upsample_nearest(lr, scale)
+            lr, old_hr, l1_gt, percep_gt, gan_gt, lr_resized = self._prep_step_inputs(
+                lr_u8, hr_u8, old_hr_u8
+            )
 
             g_params, g_opt = state["g"]["params"], state["g"]["opt"]
             d_params, spectral = state["d"]["params"], state["d"]["spectral"]
 
-            b = gt.shape[0]
             gt_objs = crop_resize_boxes(gan_gt, boxes).reshape(-1, 32, 32, 3)
 
             do_g = jnp.logical_and(
@@ -82,24 +72,7 @@ class OSMObjESRGANModel(ESRGANModel):
                 def loss_fn(p):
                     out = net_g.apply({"params": p}, lr)
                     gen_objs = crop_resize_boxes(out, boxes).reshape(-1, 32, 32, 3)
-                    total = jnp.zeros((), jnp.float32)
-                    logs = {}
-                    if cri_pix is not None:
-                        l_pix = cri_pix(out, l1_gt)
-                        total += l_pix
-                        logs["l_g_pix"] = l_pix
-                    if cri_perceptual is not None:
-                        l_percep, l_style = cri_perceptual(out, percep_gt)
-                        if l_percep is not None:
-                            total += l_percep
-                            logs["l_g_percep"] = l_percep
-                        if l_style is not None:
-                            total += l_style
-                            logs["l_g_style"] = l_style
-                    if ssim_loss is not None:
-                        l_ssim = ssim_loss(out, percep_gt)
-                        total += l_ssim
-                        logs["l_g_ssim"] = l_ssim
+                    total, logs = self._g_content_losses(out, l1_gt, percep_gt)
                     disc_in = self._disc_input(out, lr_resized, old_hr)
                     (fake_pred, obj_pred), mut = net_d.apply(
                         {"params": d_params, "spectral": spectral},
@@ -110,17 +83,13 @@ class OSMObjESRGANModel(ESRGANModel):
                     total += l_gan + l_gan_objs
                     logs["l_g_gan"] = l_gan
                     logs["l_g_gan_objs"] = l_gan_objs
-                    if clip_sim is not None:
-                        l_clip = clip_sim(out, l1_gt)
-                        total += l_clip
-                        logs["l_clip_sim"] = l_clip
+                    total, logs = self._g_clip_loss(out, l1_gt, total, logs)
                     return total, (logs, out, gen_objs, mut["spectral"])
 
                 grads, (logs, out, gen_objs, new_spectral) = jax.grad(
                     loss_fn, has_aux=True
                 )(g_params)
-                updates, new_opt = tx_g.update(grads, g_opt, g_params)
-                new_params = jax.tree.map(lambda a, u: a + u, g_params, updates)
+                new_params, new_opt = self._apply_opt(tx_g, grads, g_opt, g_params)
                 return new_params, new_opt, out, gen_objs, new_spectral, logs
 
             def g_skip(_):
@@ -171,8 +140,7 @@ class OSMObjESRGANModel(ESRGANModel):
                 )
 
             d_grads, (d_logs, new_spectral) = jax.grad(d_loss_fn, has_aux=True)(d_params)
-            d_updates, new_d_opt = tx_d.update(d_grads, state["d"]["opt"], d_params)
-            new_d_params = jax.tree.map(lambda a, u: a + u, d_params, d_updates)
+            new_d_params, new_d_opt = self._apply_opt(tx_d, d_grads, state["d"]["opt"], d_params)
 
             new_state = {
                 "step": current_iter,
