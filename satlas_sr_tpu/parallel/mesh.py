@@ -39,16 +39,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch (pytree of arrays) sharded on axis 0.
+    """Build device arrays from a host batch (pytree), sharded on axis 0.
 
-    Arrays whose leading dim is not divisible by the mesh size are replicated
-    instead (correct, just not parallel) — keeps tiny eval batches working.
+    Single-process: a plain device_put with a batch sharding. Multi-process
+    (jax.distributed): each process holds only its LOCAL shard (the loader
+    feeds batch_size_per_gpu * local_device_count samples per host), so the
+    global array is assembled with make_array_from_process_local_data — the
+    multi-controller analog of the reference's per-rank DataLoader shards.
+
+    Arrays whose leading dim is not divisible by the local mesh share are
+    replicated instead (correct, just not parallel) — keeps tiny eval batches
+    working.
     """
     n_dev = mesh.devices.size
+    n_proc = jax.process_count()
 
     def put(x):
-        if np.ndim(x) >= 1 and np.shape(x)[0] % n_dev == 0:
-            return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        if np.ndim(x) >= 1 and np.shape(x)[0] * n_proc % n_dev == 0:
+            sharding = batch_sharding(mesh, np.ndim(x))
+            if n_proc > 1:
+                global_shape = (np.shape(x)[0] * n_proc,) + tuple(np.shape(x)[1:])
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x), global_shape
+                )
+            return jax.device_put(x, sharding)
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(put, batch)
