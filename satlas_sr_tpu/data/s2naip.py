@@ -43,16 +43,15 @@ def has_black_pixels(img_hwc: np.ndarray) -> bool:
     return bool((img_hwc.astype(np.int64).sum(axis=-1) == 0).any())
 
 
-def _resize_bilinear_np(img: np.ndarray, out_hw) -> np.ndarray:
-    """Host-side bilinear resize (align_corners=False), uint8 in/out.
+def _resize_nearest_np(img: np.ndarray, out_hw) -> np.ndarray:
+    """Host-side nearest-neighbor resize, uint8 in/out.
 
-    Matches torch F.interpolate(mode='bilinear'... actually the reference uses
-    F.interpolate default mode='nearest' for rand_crop (s2-naip_dataset.py:234);
-    nearest is used here for exact parity.
+    The reference's rand_crop path calls torch F.interpolate with its DEFAULT
+    mode='nearest' (s2-naip_dataset.py:234); nearest is required for parity —
+    do not "upgrade" this to bilinear.
     """
     ih, iw = img.shape[:2]
     oh, ow = out_hw
-    # torch default F.interpolate mode is 'nearest'
     ys = (np.arange(oh) * (ih / oh)).astype(np.int64)
     xs = (np.arange(ow) * (iw / ow)).astype(np.int64)
     return img[ys][:, xs]
@@ -234,8 +233,8 @@ class S2NAIPDataset:
                 hr_size = lr_size * 4
                 s2_crop = img_s2[:, :lr_size, :lr_size]
                 hr_crop = img_hr[:hr_size, :hr_size]
-                img_s2 = np.stack([_resize_bilinear_np(f, (32, 32)) for f in s2_crop])
-                img_hr = _resize_bilinear_np(hr_crop, (128, 128))
+                img_s2 = np.stack([_resize_nearest_np(f, (32, 32)) for f in s2_crop])
+                img_hr = _resize_nearest_np(hr_crop, (128, 128))
 
             if not self.use_3d:
                 # channel-stack frames: [32, 32, T*C] with frame-major ordering

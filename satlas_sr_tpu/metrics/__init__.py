@@ -17,6 +17,19 @@ def calculate_metric(data: dict, opt: dict):
     return METRIC_REGISTRY.get(metric_type)(**data, **opt)
 
 
+def metric_tower_pretrained(opt: dict):
+    """None if the metric is weight-free (psnr/ssim/cpsnr); else whether its
+    tower carries real pretrained weights. Random-tower results are
+    self-consistent only and get tagged `(untrained-tower)` in reports."""
+    kwargs = {k: v for k, v in opt.items() if k not in ("type", "better")}
+    t = opt.get("type")
+    if t == "calculate_lpips":
+        return lpips.tower_pretrained(**kwargs)
+    if t == "calculate_clipscore":
+        return clipscore.tower_pretrained(**kwargs)
+    return None
+
+
 __all__ = [
     "calculate_metric",
     "calculate_psnr",

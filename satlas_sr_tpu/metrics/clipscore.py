@@ -45,6 +45,14 @@ def _scorer(clip_model: str, weights_path=None):
     return score
 
 
+def tower_pretrained(clip_model, clip_weights_path=None, **kwargs) -> bool:
+    """True iff this metric's tower has real (non-random) weights loaded."""
+    if clip_model not in MODEL_SPECS:
+        return False
+    _, pretrained = get_encoder(clip_model, clip_weights_path)
+    return pretrained
+
+
 @METRIC_REGISTRY.register("calculate_clipscore")
 def calculate_clipscore(img, img2, clip_model, clip_weights_path=None, **kwargs) -> float:
     if clip_model not in MODEL_SPECS:

@@ -155,6 +155,16 @@ def _build_lpips(model_name: str, weights_path: Optional[str]):
     return distance, pretrained
 
 
+def tower_pretrained(lpips_model="vgg", lpips_weights_path=None, **kwargs) -> bool:
+    """True iff the LPIPS backbone has real (non-random) weights loaded."""
+    lpips_weights_path = lpips_weights_path or os.environ.get("SSR_TPU_LPIPS_WEIGHTS")
+    try:
+        _, pretrained = _build_lpips(lpips_model, lpips_weights_path)
+    except ValueError:
+        return False
+    return pretrained
+
+
 @METRIC_REGISTRY.register("calculate_lpips")
 def calculate_lpips(img, img2, lpips_model="vgg", lpips_weights_path=None, **kwargs) -> float:
     """uint8 HWC images -> LPIPS distance (lower better)."""

@@ -216,7 +216,18 @@ class BaseModel:
                 fn = fast_metric_fn(m_opt)
                 if fn is not None:
                     fast_fns[name] = fn
+        self._metric_tags = {}
         if metrics2run:
+            from ..metrics import metric_tower_pretrained
+
+            for name, m_opt in metrics2run.items():
+                try:
+                    pretrained = metric_tower_pretrained(m_opt)
+                except Exception:
+                    pretrained = None
+                self._metric_tags[name] = (
+                    "(untrained-tower)" if pretrained is False else ""
+                )
             if dataset_name not in self.best_metric_results:
                 rec = {}
                 for metric, content in metrics2run.items():
@@ -276,13 +287,19 @@ class BaseModel:
                 ):
                     rec["val"], rec["iter"] = val, current_iter
             self._log_validation_metrics(current_iter, dataset_name, tb_logger)
-        return dict(self.metric_results)
+        # Random-tower metrics are semantically meaningless vs real baselines:
+        # suffix them in the returned results so tables can't silently pass
+        # them off as the real metric (VERDICT r1 weak #4).
+        return {
+            m + self._metric_tags.get(m, ""): v for m, v in self.metric_results.items()
+        }
 
     def _log_validation_metrics(self, current_iter, dataset_name, tb_logger):
         msg = f"Validation [{dataset_name}]\n"
         for metric, value in self.metric_results.items():
             rec = self.best_metric_results[dataset_name][metric]
-            msg += f"\t # {metric}: {value:.4f}\tBest: {rec['val']:.4f} @ {rec['iter']} iter\n"
+            tag = self._metric_tags.get(metric, "")
+            msg += f"\t # {metric}{tag}: {value:.4f}\tBest: {rec['val']:.4f} @ {rec['iter']} iter\n"
         self.logger.info(msg)
         if tb_logger is not None:
             for metric, value in self.metric_results.items():
