@@ -5,14 +5,21 @@ The reference loads open_clip/clip towers from the network at call time
 perf bug SURVEY.md flags; ssr/losses/basic_loss.py:26-34). This environment
 has zero egress, so towers are:
 
-1. loaded from a local torch state dict when provided (CLIP-style
-   `visual.transformer.resblocks.*` key mapping), else
-2. a seeded deterministic random tower of the same geometry (keeps pipelines
-   runnable; similarity numbers are then only self-consistent, not
-   ImageNet-semantic — callers log this).
+1. loaded from a local torch state dict when provided — three naming
+   conventions are mapped, covering every tower the shipped configs name:
+   - OpenAI CLIP (`visual.conv1.weight`, `visual.transformer.resblocks.*`,
+     class token + ln_pre + ln_post + proj, quick_gelu)
+   - open_clip SigLIP, i.e. a timm trunk wrapped under `visual.trunk.*`
+     (`patch_embed.proj.*`, `blocks.{i}.*`, final `norm`, MAP attention pool)
+   - bare timm ViT (same keys, no `visual.trunk.` prefix)
+2. else a seeded deterministic random tower of the same geometry (keeps
+   pipelines runnable; similarity numbers are then only self-consistent, not
+   ImageNet-semantic — callers log AND tag this; see metrics/__init__.py
+   metric_tower_pretrained).
 
-Encoders are built ONCE per process and cached (fixing the reload-per-call
-reference bug).
+The forward is structure-driven: the params dict decides cls-token/ln_pre/
+attention-pool presence, so one encoder serves all conventions. Encoders are
+built ONCE per process and cached (fixing the reload-per-call reference bug).
 """
 
 from __future__ import annotations
@@ -36,20 +43,33 @@ class ViTSpec:
     heads: int
     embed_dim: int
     mlp_ratio: float = 4.0
+    act: str = "gelu"  # gelu | quick_gelu
+    pool: str = "mean"  # mean | cls | map (MAP = timm AttentionPoolLatent)
+    ln_eps: float = 1e-5  # OpenAI CLIP: 1e-5; timm/SigLIP ViTs: 1e-6
 
 
 MODEL_SPECS: Dict[str, ViTSpec] = {
     # loss towers (ssr/losses/basic_loss.py:26-34)
     "EVA02-E-14-plus": ViTSpec(224, 14, 1792, 64, 16, 1024),
-    "ViT-B-16-SigLIP-256": ViTSpec(256, 16, 768, 12, 12, 768),
+    "ViT-B-16-SigLIP-256": ViTSpec(256, 16, 768, 12, 12, 768, pool="map",
+                                   ln_eps=1e-6),
     "RN50": ViTSpec(224, 32, 768, 12, 12, 1024),  # stand-in ViT geometry
     # metric towers (ssr/metrics/clipscore.py:12-22)
-    "clip-ViT-B/16": ViTSpec(224, 16, 768, 12, 12, 512),
+    "clip-ViT-B/16": ViTSpec(224, 16, 768, 12, 12, 512, act="quick_gelu", pool="cls"),
     "clipa-ViT-bigG-14": ViTSpec(336, 14, 1664, 48, 16, 1280),
-    "siglip-ViT-SO400M-14": ViTSpec(384, 14, 1152, 27, 16, 1152),
-    # tiny tower for tests
+    # SoViT-400M/14: mlp dim 4304 (not 4x), 27 layers, MAP head
+    "siglip-ViT-SO400M-14": ViTSpec(384, 14, 1152, 27, 16, 1152,
+                                    mlp_ratio=4304 / 1152, pool="map",
+                                    ln_eps=1e-6),
+    # tiny towers for tests (one per pooling/act variant)
     "test-tiny": ViTSpec(32, 8, 32, 2, 2, 16),
+    "test-tiny-openai": ViTSpec(32, 8, 32, 2, 2, 16, act="quick_gelu", pool="cls"),
+    "test-tiny-siglip": ViTSpec(32, 8, 32, 2, 2, 32, pool="map", ln_eps=1e-6),
 }
+
+
+def _mlp_dim(spec: ViTSpec) -> int:
+    return int(round(spec.width * spec.mlp_ratio))
 
 
 def _init_vit_params(spec: ViTSpec, seed: int = 0) -> Dict:
@@ -66,7 +86,7 @@ def _init_vit_params(spec: ViTSpec, seed: int = 0) -> Dict:
     def ln():
         return {"scale": np.ones((w,), np.float32), "bias": np.zeros((w,), np.float32)}
 
-    mlp_dim = int(w * spec.mlp_ratio)
+    mlp_dim = _mlp_dim(spec)
     blocks = []
     for _ in range(spec.layers):
         blocks.append(
@@ -79,7 +99,8 @@ def _init_vit_params(spec: ViTSpec, seed: int = 0) -> Dict:
                 "fc2": dense(mlp_dim, w),
             }
         )
-    return {
+    n_tokens = n_patches + (1 if spec.pool == "cls" else 0)
+    params = {
         "patch": {
             "kernel": (
                 rng.randn(spec.patch_size, spec.patch_size, 3, w)
@@ -87,83 +108,230 @@ def _init_vit_params(spec: ViTSpec, seed: int = 0) -> Dict:
             ).astype(np.float32),
             "bias": np.zeros((w,), np.float32),
         },
-        "pos": (rng.randn(n_patches, w) * 0.02).astype(np.float32),
+        "pos": (rng.randn(n_tokens, w) * 0.02).astype(np.float32),
         "blocks": blocks,
         "ln_final": ln(),
-        "head": dense(w, spec.embed_dim),
     }
-
-
-def load_vit_from_torch(path: str, spec: ViTSpec) -> Optional[Dict]:
-    """Best-effort import of a CLIP-style visual tower state dict."""
-    import torch
-
-    state = torch.load(path, map_location="cpu", weights_only=True)
-    get = lambda k: state[k].float().numpy() if k in state else None
-    conv = get("visual.conv1.weight")
-    if conv is None:
-        return None
-    params = _init_vit_params(spec)
-    params["patch"]["kernel"] = np.transpose(conv, (2, 3, 1, 0))
-    pos = get("visual.positional_embedding")
-    if pos is not None and pos.shape[0] == params["pos"].shape[0] + 1:
-        params["pos"] = pos[1:]  # drop cls position; we mean-pool
-    for i in range(spec.layers):
-        base = f"visual.transformer.resblocks.{i}"
-        blk = params["blocks"][i]
-        blk["ln1"]["scale"] = get(f"{base}.ln_1.weight")
-        blk["ln1"]["bias"] = get(f"{base}.ln_1.bias")
-        blk["qkv"]["kernel"] = get(f"{base}.attn.in_proj_weight").T
-        blk["qkv"]["bias"] = get(f"{base}.attn.in_proj_bias")
-        blk["proj"]["kernel"] = get(f"{base}.attn.out_proj.weight").T
-        blk["proj"]["bias"] = get(f"{base}.attn.out_proj.bias")
-        blk["ln2"]["scale"] = get(f"{base}.ln_2.weight")
-        blk["ln2"]["bias"] = get(f"{base}.ln_2.bias")
-        blk["fc1"]["kernel"] = get(f"{base}.mlp.c_fc.weight").T
-        blk["fc1"]["bias"] = get(f"{base}.mlp.c_fc.bias")
-        blk["fc2"]["kernel"] = get(f"{base}.mlp.c_proj.weight").T
-        blk["fc2"]["bias"] = get(f"{base}.mlp.c_proj.bias")
-    params["ln_final"]["scale"] = get("visual.ln_post.weight")
-    params["ln_final"]["bias"] = get("visual.ln_post.bias")
-    proj = get("visual.proj")
-    if proj is not None:
-        params["head"]["kernel"] = proj
-        params["head"]["bias"] = np.zeros((proj.shape[1],), np.float32)
+    if spec.pool == "cls":
+        params["cls"] = (rng.randn(w) * 0.02).astype(np.float32)
+        params["ln_pre"] = ln()
+    if spec.pool == "map":
+        params["attn_pool"] = {
+            "latent": (rng.randn(w) * 0.02).astype(np.float32),
+            "q": dense(w, w),
+            "kv": dense(w, 2 * w),
+            "proj": dense(w, w),
+            "norm": ln(),
+            "fc1": dense(w, mlp_dim),
+            "fc2": dense(mlp_dim, w),
+        }
+    else:
+        params["head"] = dense(w, spec.embed_dim)
     return params
 
 
-def _layer_norm(x, p):
+# -- torch state-dict importers ------------------------------------------------
+
+
+def _np(t):
+    return t.float().numpy()
+
+
+def _import_openai_clip(state, spec: ViTSpec) -> Optional[Dict]:
+    """OpenAI/open_clip CLIP ViT visual tower: cls token, ln_pre, quick_gelu,
+    ln_post on the cls token, then @ proj (CLIP VisionTransformer.forward)."""
+    get = lambda k: _np(state[k]) if k in state else None
+    conv = get("visual.conv1.weight")  # [W, 3, P, P], bias-free in CLIP
+    if conv is None:
+        return None
+    w = conv.shape[0]
+    params: Dict = {
+        "patch": {"kernel": np.transpose(conv, (2, 3, 1, 0)),
+                  "bias": np.zeros((w,), np.float32)},
+        "cls": get("visual.class_embedding"),
+        "pos": get("visual.positional_embedding"),  # [(n+1), W], row 0 = cls
+        "blocks": [],
+        "ln_final": {"scale": get("visual.ln_post.weight"),
+                     "bias": get("visual.ln_post.bias")},
+    }
+    if "visual.ln_pre.weight" in state:
+        params["ln_pre"] = {"scale": get("visual.ln_pre.weight"),
+                            "bias": get("visual.ln_pre.bias")}
+    for i in range(spec.layers):
+        base = f"visual.transformer.resblocks.{i}"
+        if f"{base}.ln_1.weight" not in state:
+            return None
+        params["blocks"].append(
+            {
+                "ln1": {"scale": get(f"{base}.ln_1.weight"), "bias": get(f"{base}.ln_1.bias")},
+                "qkv": {"kernel": get(f"{base}.attn.in_proj_weight").T,
+                        "bias": get(f"{base}.attn.in_proj_bias")},
+                "proj": {"kernel": get(f"{base}.attn.out_proj.weight").T,
+                         "bias": get(f"{base}.attn.out_proj.bias")},
+                "ln2": {"scale": get(f"{base}.ln_2.weight"), "bias": get(f"{base}.ln_2.bias")},
+                "fc1": {"kernel": get(f"{base}.mlp.c_fc.weight").T,
+                        "bias": get(f"{base}.mlp.c_fc.bias")},
+                "fc2": {"kernel": get(f"{base}.mlp.c_proj.weight").T,
+                        "bias": get(f"{base}.mlp.c_proj.bias")},
+            }
+        )
+    proj = get("visual.proj")  # [W, E]
+    if proj is not None:
+        params["head"] = {"kernel": proj, "bias": np.zeros((proj.shape[1],), np.float32)}
+    else:
+        params["head"] = {"kernel": np.eye(w, spec.embed_dim, dtype=np.float32),
+                          "bias": np.zeros((spec.embed_dim,), np.float32)}
+    return params
+
+
+def _import_timm_vit(state, spec: ViTSpec, prefix: str) -> Optional[Dict]:
+    """timm VisionTransformer (open_clip SigLIP towers live under
+    `visual.trunk.`): fused qkv, exact gelu, final norm, MAP attention pool."""
+    get = lambda k: _np(state[prefix + k]) if prefix + k in state else None
+    conv = get("patch_embed.proj.weight")  # [W, 3, P, P]
+    if conv is None:
+        return None
+    w = conv.shape[0]
+    bias = get("patch_embed.proj.bias")
+    pos = get("pos_embed")
+    params: Dict = {
+        "patch": {"kernel": np.transpose(conv, (2, 3, 1, 0)),
+                  "bias": bias if bias is not None else np.zeros((w,), np.float32)},
+        "pos": pos.reshape(-1, w) if pos is not None else None,
+        "blocks": [],
+        "ln_final": {"scale": get("norm.weight"), "bias": get("norm.bias")},
+    }
+    if params["pos"] is None:
+        return None
+    for i in range(spec.layers):
+        base = f"blocks.{i}"
+        if prefix + f"{base}.norm1.weight" not in state:
+            return None
+        params["blocks"].append(
+            {
+                "ln1": {"scale": get(f"{base}.norm1.weight"), "bias": get(f"{base}.norm1.bias")},
+                "qkv": {"kernel": get(f"{base}.attn.qkv.weight").T,
+                        "bias": get(f"{base}.attn.qkv.bias")},
+                "proj": {"kernel": get(f"{base}.attn.proj.weight").T,
+                         "bias": get(f"{base}.attn.proj.bias")},
+                "ln2": {"scale": get(f"{base}.norm2.weight"), "bias": get(f"{base}.norm2.bias")},
+                "fc1": {"kernel": get(f"{base}.mlp.fc1.weight").T,
+                        "bias": get(f"{base}.mlp.fc1.bias")},
+                "fc2": {"kernel": get(f"{base}.mlp.fc2.weight").T,
+                        "bias": get(f"{base}.mlp.fc2.bias")},
+            }
+        )
+    if prefix + "attn_pool.latent" in state:
+        params["attn_pool"] = {
+            "latent": get("attn_pool.latent").reshape(-1),
+            "q": {"kernel": get("attn_pool.q.weight").T, "bias": get("attn_pool.q.bias")},
+            "kv": {"kernel": get("attn_pool.kv.weight").T, "bias": get("attn_pool.kv.bias")},
+            "proj": {"kernel": get("attn_pool.proj.weight").T,
+                     "bias": get("attn_pool.proj.bias")},
+            "norm": {"scale": get("attn_pool.norm.weight"), "bias": get("attn_pool.norm.bias")},
+            "fc1": {"kernel": get("attn_pool.mlp.fc1.weight").T,
+                    "bias": get("attn_pool.mlp.fc1.bias")},
+            "fc2": {"kernel": get("attn_pool.mlp.fc2.weight").T,
+                    "bias": get("attn_pool.mlp.fc2.bias")},
+        }
+    else:
+        params["head"] = {"kernel": np.eye(w, spec.embed_dim, dtype=np.float32),
+                          "bias": np.zeros((spec.embed_dim,), np.float32)}
+    return params
+
+
+def load_vit_from_torch(path: str, spec: ViTSpec) -> Optional[Dict]:
+    """Import a ViT image-tower state dict; detects the naming convention."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    if any(k.startswith("visual.conv1") for k in state):
+        return _import_openai_clip(state, spec)
+    if any(k.startswith("visual.trunk.patch_embed") for k in state):
+        return _import_timm_vit(state, spec, "visual.trunk.")
+    if any(k.startswith("patch_embed.proj") for k in state):
+        return _import_timm_vit(state, spec, "")
+    return None
+
+
+# -- forward -------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps: float = 1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
 def _dense(x, p):
     return x @ p["kernel"] + p["bias"]
 
 
+def _act(spec: ViTSpec, x):
+    if spec.act == "quick_gelu":  # OpenAI CLIP's QuickGELU
+        return x * jax.nn.sigmoid(1.702 * x)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _attention_pool(p: Dict, heads: int, h: jax.Array, eps: float) -> jax.Array:
+    """timm AttentionPoolLatent (latent_len=1, no pos): the SigLIP MAP head."""
+    b, n, w = h.shape
+    d = w // heads
+    q = (p["latent"] @ p["q"]["kernel"] + p["q"]["bias"]).reshape(heads, d)
+    kv = _dense(h, p["kv"]).reshape(b, n, 2, heads, d)
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    attn = jnp.einsum("hd,bkhd->bhk", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn / np.sqrt(d), axis=-1)
+    x = jnp.einsum("bhk,bkhd->bhd", attn, v).reshape(b, w)
+    x = _dense(x, p["proj"])
+    y = _layer_norm(x, p["norm"], eps)
+    y = _dense(jax.nn.gelu(_dense(y, p["fc1"]), approximate=False), p["fc2"])
+    return x + y
+
+
 def _vit_encode(params: Dict, spec: ViTSpec, x: jax.Array) -> jax.Array:
-    """NHWC image in (normalised) -> [B, embed_dim]."""
+    """NHWC image in (normalised) -> [B, embed_dim].
+
+    Pooling is structure-driven by the params dict: `attn_pool` -> MAP head
+    (SigLIP), `cls` -> class token + ln_post + proj (OpenAI CLIP), else
+    mean-pool + ln + head (random-tower fallback geometry).
+    """
     b = x.shape[0]
     h = jax.lax.conv_general_dilated(
         x, params["patch"]["kernel"], (spec.patch_size, spec.patch_size),
         "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + params["patch"]["bias"]
     n = h.shape[1] * h.shape[2]
-    h = h.reshape(b, n, spec.width) + params["pos"]
+    h = h.reshape(b, n, spec.width)
+    if "cls" in params:
+        cls = jnp.broadcast_to(params["cls"], (b, 1, spec.width))
+        h = jnp.concatenate([cls, h], axis=1)
+        n += 1
+    h = h + params["pos"]
+    eps = spec.ln_eps
+    if "ln_pre" in params:
+        h = _layer_norm(h, params["ln_pre"], eps)
     d_head = spec.width // spec.heads
     for blk in params["blocks"]:
-        y = _layer_norm(h, blk["ln1"])
+        y = _layer_norm(h, blk["ln1"], eps)
         qkv = _dense(y, blk["qkv"]).reshape(b, n, 3, spec.heads, d_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn / np.sqrt(d_head), axis=-1)
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, spec.width)
         h = h + _dense(y, blk["proj"])
-        y = _layer_norm(h, blk["ln2"])
-        y = _dense(jax.nn.gelu(_dense(y, blk["fc1"]), approximate=False), blk["fc2"])
+        y = _layer_norm(h, blk["ln2"], eps)
+        y = _dense(_act(spec, _dense(y, blk["fc1"])), blk["fc2"])
         h = h + y
-    h = _layer_norm(jnp.mean(h, axis=1), params["ln_final"])
+    if "attn_pool" in params:
+        h = _layer_norm(h, params["ln_final"], eps)
+        return _attention_pool(params["attn_pool"], spec.heads, h, eps)
+    if "cls" in params:
+        h = _layer_norm(h[:, 0], params["ln_final"], eps)
+        return _dense(h, params["head"])
+    h = _layer_norm(jnp.mean(h, axis=1), params["ln_final"], eps)
     return _dense(h, params["head"])
 
 

@@ -1,14 +1,16 @@
-"""LPIPS perceptual distance metric (vgg backbone; the shipped configs' choice), in JAX.
+"""LPIPS perceptual distance metric (vgg and alex backbones), in JAX.
 
-Parity target: ssr/metrics/lpips.py:7-21 (lpips package, configs use `vgg`).
-Unlike the reference — which re-instantiates the LPIPS model on every metric
-call (flagged in SURVEY.md §2.7) — the tower is built once per process.
+Parity target: ssr/metrics/lpips.py:7-21 (lpips package; the shipped configs
+use `vgg`, the package also ships `alex` — both are wired here). Unlike the
+reference — which re-instantiates the LPIPS model on every metric call
+(flagged in SURVEY.md §2.7) — the tower is built once per process.
 
 Zero-egress environment: pretrained backbone + linear-head weights load from a
-local `lpips` package-format state dict when provided via
+local combined state dict (torchvision `features.{i}.weight` conv keys plus
+lpips-package `lin{i}.model.1.weight` heads) when provided via
 SSR_TPU_LPIPS_WEIGHTS / `lpips_weights_path`; otherwise a seeded random
-backbone with uniform heads is used and a warning logged (scores are then
-self-consistent only).
+backbone with uniform heads is used, a warning logged, and validation reports
+tag the metric `(untrained-tower)` (metrics/__init__.py).
 """
 
 from __future__ import annotations
@@ -24,28 +26,48 @@ import numpy as np
 
 from ..registry import METRIC_REGISTRY
 
-# VGG16 conv plan (channels); 'M' = maxpool. Taps after the ReLU preceding
-# each pool (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3).
-_VGG16_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
-               512, 512, 512]
-_VGG16_TAPS = [1, 3, 6, 9, 12]  # conv indices (0-based among convs) to tap after relu
+# Backbone plans: ("conv", out_ch, kernel, stride, pad) | ("pool", kernel, stride).
+# A tap is taken after the ReLU of each conv marked tap=True (5 taps each,
+# matching the lpips package's slice boundaries).
+_PLANS: Dict[str, List[tuple]] = {
+    # torchvision VGG16.features; taps = relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+    "vgg": [
+        ("conv", 64, 3, 1, 1, False), ("conv", 64, 3, 1, 1, True), ("pool", 2, 2),
+        ("conv", 128, 3, 1, 1, False), ("conv", 128, 3, 1, 1, True), ("pool", 2, 2),
+        ("conv", 256, 3, 1, 1, False), ("conv", 256, 3, 1, 1, False),
+        ("conv", 256, 3, 1, 1, True), ("pool", 2, 2),
+        ("conv", 512, 3, 1, 1, False), ("conv", 512, 3, 1, 1, False),
+        ("conv", 512, 3, 1, 1, True), ("pool", 2, 2),
+        ("conv", 512, 3, 1, 1, False), ("conv", 512, 3, 1, 1, False),
+        ("conv", 512, 3, 1, 1, True),
+    ],
+    # torchvision AlexNet.features; taps = relu1..relu5 (lpips alexnet slices)
+    "alex": [
+        ("conv", 64, 11, 4, 2, True), ("pool", 3, 2),
+        ("conv", 192, 5, 1, 2, True), ("pool", 3, 2),
+        ("conv", 384, 3, 1, 1, True),
+        ("conv", 256, 3, 1, 1, True),
+        ("conv", 256, 3, 1, 1, True),
+    ],
+}
 
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
-def _init_vgg16(seed: int = 0) -> List[Dict[str, np.ndarray]]:
+def _plan_convs(plan) -> List[tuple]:
+    return [item for item in plan if item[0] == "conv"]
+
+
+def _init_backbone(plan, seed: int = 0) -> List[Dict[str, np.ndarray]]:
     rng = np.random.RandomState(seed)
     convs = []
     in_ch = 3
-    for item in _VGG16_PLAN:
-        if item == "M":
-            continue
-        out_ch = item
-        fan_in = 9 * in_ch
+    for _, out_ch, k, _, _, _ in _plan_convs(plan):
+        fan_in = k * k * in_ch
         convs.append(
             {
-                "kernel": (rng.randn(3, 3, in_ch, out_ch) * np.sqrt(2.0 / fan_in)).astype(
+                "kernel": (rng.randn(k, k, in_ch, out_ch) * np.sqrt(2.0 / fan_in)).astype(
                     np.float32
                 ),
                 "bias": np.zeros((out_ch,), np.float32),
@@ -55,8 +77,8 @@ def _init_vgg16(seed: int = 0) -> List[Dict[str, np.ndarray]]:
     return convs
 
 
-def _load_lpips_torch(path: str) -> Optional[tuple]:
-    """Load an `lpips` package checkpoint: net.slice convs + lin heads."""
+def _load_lpips_torch(path: str, plan) -> Optional[tuple]:
+    """Load a combined checkpoint: torchvision backbone convs + lpips lin heads."""
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
@@ -64,12 +86,15 @@ def _load_lpips_torch(path: str) -> Optional[tuple]:
         (k for k in state if k.endswith(".weight") and "lin" not in k),
         key=lambda k: [int(t) for t in k.split(".") if t.isdigit()],
     )
-    if not conv_keys:
+    plan_convs = _plan_convs(plan)
+    if len(conv_keys) != len(plan_convs):
         return None
     convs = []
-    for k in conv_keys:
-        w = state[k].float().numpy()
-        b = state.get(k[:-7] + ".bias")
+    for key, (_, out_ch, ksz, _, _, _) in zip(conv_keys, plan_convs):
+        w = state[key].float().numpy()  # OIHW
+        if w.shape[0] != out_ch or w.shape[2] != ksz:
+            return None
+        b = state.get(key[:-7] + ".bias")
         convs.append(
             {
                 "kernel": np.transpose(w, (2, 3, 1, 0)),
@@ -85,39 +110,41 @@ def _load_lpips_torch(path: str) -> Optional[tuple]:
     return convs, lins
 
 
-def _vgg16_features(convs, x: jax.Array) -> List[jax.Array]:
+def _backbone_features(plan, convs, x: jax.Array) -> List[jax.Array]:
     feats = []
     h = x
     ci = 0
-    for item in _VGG16_PLAN:
-        if item == "M":
-            eh = (h.shape[1] // 2) * 2
-            ew = (h.shape[2] // 2) * 2
-            h = h[:, :eh, :ew, :]
-            h = jnp.maximum(
-                jnp.maximum(h[:, 0::2, 0::2, :], h[:, 1::2, 0::2, :]),
-                jnp.maximum(h[:, 0::2, 1::2, :], h[:, 1::2, 1::2, :]),
+    for item in plan:
+        if item[0] == "pool":
+            _, k, s = item
+            # torch MaxPool2d(padding=0, floor): VALID reduce_window matches.
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1), "VALID"
             )
             continue
+        _, _, _, stride, pad, tap = item
         p = convs[ci]
         h = jax.lax.conv_general_dilated(
-            h, p["kernel"], (1, 1), [(1, 1), (1, 1)],
+            h, p["kernel"], (stride, stride), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + p["bias"]
         h = jax.nn.relu(h)
-        if ci in _VGG16_TAPS:
+        if tap:
             feats.append(h)
         ci += 1
     return feats
 
 
-@functools.lru_cache(maxsize=2)
+@functools.lru_cache(maxsize=4)
 def _build_lpips(model_name: str, weights_path: Optional[str]):
+    if model_name not in _PLANS:
+        raise ValueError(f"lpips_model={model_name!r} not supported (vgg | alex)")
+    plan = _PLANS[model_name]
     convs = None
     lins = None
     pretrained = False
     if weights_path and os.path.exists(weights_path):
-        loaded = _load_lpips_torch(weights_path)
+        loaded = _load_lpips_torch(weights_path, plan)
         if loaded:
             convs, lins = loaded
             convs = [jax.tree.map(jnp.asarray, c) for c in convs]
@@ -127,7 +154,7 @@ def _build_lpips(model_name: str, weights_path: Optional[str]):
             "LPIPS: no local weights (set SSR_TPU_LPIPS_WEIGHTS); using seeded "
             "random backbone — distances are self-consistent only."
         )
-        convs = [jax.tree.map(jnp.asarray, c) for c in _init_vgg16()]
+        convs = [jax.tree.map(jnp.asarray, c) for c in _init_backbone(plan)]
         lins = None
 
     shift = jnp.asarray(_SHIFT)
@@ -138,8 +165,8 @@ def _build_lpips(model_name: str, weights_path: Optional[str]):
         # inputs NHWC in [0, 1] -> [-1, 1] -> lpips scaling
         a = ((a * 2.0 - 1.0) - shift) / scale
         b = ((b * 2.0 - 1.0) - shift) / scale
-        fa = _vgg16_features(convs, a)
-        fb = _vgg16_features(convs, b)
+        fa = _backbone_features(plan, convs, a)
+        fb = _backbone_features(plan, convs, b)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
             na = xa * jax.lax.rsqrt(jnp.sum(xa**2, axis=-1, keepdims=True) + 1e-10)
@@ -168,11 +195,6 @@ def tower_pretrained(lpips_model="vgg", lpips_weights_path=None, **kwargs) -> bo
 @METRIC_REGISTRY.register("calculate_lpips")
 def calculate_lpips(img, img2, lpips_model="vgg", lpips_weights_path=None, **kwargs) -> float:
     """uint8 HWC images -> LPIPS distance (lower better)."""
-    if lpips_model != "vgg":
-        raise ValueError(
-            f"lpips_model={lpips_model!r} not wired (vgg only — the shipped "
-            "configs use vgg; alex backbone import is a ROADMAP item)"
-        )
     lpips_weights_path = lpips_weights_path or os.environ.get("SSR_TPU_LPIPS_WEIGHTS")
     distance, _ = _build_lpips(lpips_model, lpips_weights_path)
     a = jnp.asarray(img, jnp.float32)[None] / 255.0
