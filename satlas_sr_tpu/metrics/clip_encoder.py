@@ -48,12 +48,23 @@ class ViTSpec:
     ln_eps: float = 1e-5  # OpenAI CLIP: 1e-5; timm/SigLIP ViTs: 1e-6
 
 
+@dataclasses.dataclass(frozen=True)
+class ResNetSpec:
+    """CLIP ModifiedResNet geometry (anti-aliased stem/downsampling + MHA pool)."""
+
+    image_size: int
+    width: int  # stem width (RN50: 64)
+    layers: tuple  # bottleneck counts per stage (RN50: (3, 4, 6, 3))
+    embed_dim: int
+    heads: int  # attention-pool heads (RN50: 32)
+
+
 MODEL_SPECS: Dict[str, ViTSpec] = {
     # loss towers (ssr/losses/basic_loss.py:26-34)
     "EVA02-E-14-plus": ViTSpec(224, 14, 1792, 64, 16, 1024),
     "ViT-B-16-SigLIP-256": ViTSpec(256, 16, 768, 12, 12, 768, pool="map",
                                    ln_eps=1e-6),
-    "RN50": ViTSpec(224, 32, 768, 12, 12, 1024),  # stand-in ViT geometry
+    "RN50": ResNetSpec(224, 64, (3, 4, 6, 3), 1024, 32),
     # metric towers (ssr/metrics/clipscore.py:12-22)
     "clip-ViT-B/16": ViTSpec(224, 16, 768, 12, 12, 512, act="quick_gelu", pool="cls"),
     "clipa-ViT-bigG-14": ViTSpec(336, 14, 1664, 48, 16, 1280),
@@ -65,6 +76,7 @@ MODEL_SPECS: Dict[str, ViTSpec] = {
     "test-tiny": ViTSpec(32, 8, 32, 2, 2, 16),
     "test-tiny-openai": ViTSpec(32, 8, 32, 2, 2, 16, act="quick_gelu", pool="cls"),
     "test-tiny-siglip": ViTSpec(32, 8, 32, 2, 2, 32, pool="map", ln_eps=1e-6),
+    "test-tiny-rn": ResNetSpec(32, 4, (1, 1, 1, 1), 16, 4),
 }
 
 
@@ -128,6 +140,174 @@ def _init_vit_params(spec: ViTSpec, seed: int = 0) -> Dict:
     else:
         params["head"] = dense(w, spec.embed_dim)
     return params
+
+
+# -- CLIP ModifiedResNet (RN50) --------------------------------------------------
+# Parity: CLIP model.py ModifiedResNet — 3-conv anti-aliased stem with avgpool,
+# bottlenecks whose strided downsampling is avgpool-then-conv, and a final
+# AttentionPool2d head (mean token as query). BatchNorms are folded into
+# per-conv (scale, shift) at import/init time: the tower only ever runs eval.
+
+
+def _rn_stage_planes(width: int):
+    return [width, width * 2, width * 4, width * 8]
+
+
+def _init_rn_params(spec: ResNetSpec, seed: int = 0) -> Dict:
+    rng = np.random.RandomState(seed)
+
+    def conv(k, i, o):
+        fan_in = k * k * i
+        return {
+            "kernel": (rng.randn(k, k, i, o) * np.sqrt(2.0 / fan_in)).astype(np.float32),
+            "scale": np.ones((o,), np.float32),
+            "shift": np.zeros((o,), np.float32),
+        }
+
+    def dense(i, o):
+        return {
+            "kernel": (rng.randn(i, o) * (1.0 / np.sqrt(i))).astype(np.float32),
+            "bias": np.zeros((o,), np.float32),
+        }
+
+    w = spec.width
+    stem = [conv(3, 3, w // 2), conv(3, w // 2, w // 2), conv(3, w // 2, w)]
+    layers = []
+    in_ch = w
+    for si, (planes, n_blocks) in enumerate(zip(_rn_stage_planes(w), spec.layers)):
+        stage = []
+        for bi in range(n_blocks):
+            stride = (2 if si > 0 else 1) if bi == 0 else 1
+            blk = {
+                "conv1": conv(1, in_ch, planes),
+                "conv2": conv(3, planes, planes),
+                "conv3": conv(1, planes, planes * 4),
+                "stride": stride,
+            }
+            if stride > 1 or in_ch != planes * 4:
+                blk["down"] = conv(1, in_ch, planes * 4)
+            stage.append(blk)
+            in_ch = planes * 4
+        layers.append(stage)
+    n_spacial = (spec.image_size // 32) ** 2
+    pool = {
+        "pos": (rng.randn(n_spacial + 1, in_ch) / np.sqrt(in_ch)).astype(np.float32),
+        "q": dense(in_ch, in_ch),
+        "k": dense(in_ch, in_ch),
+        "v": dense(in_ch, in_ch),
+        "c": dense(in_ch, spec.embed_dim),
+    }
+    return {"stem": stem, "layers": layers, "attnpool": pool}
+
+
+def _import_clip_rn(state, spec: ResNetSpec) -> Optional[Dict]:
+    """OpenAI CLIP RN* visual tower; folds each BatchNorm into its conv."""
+    if "visual.conv1.weight" not in state or "visual.attnpool.q_proj.weight" not in state:
+        return None
+    get = lambda k: _np(state[k]) if k in state else None
+
+    def conv_bn(conv_key, bn_key):
+        w = get(f"{conv_key}.weight")
+        if w is None:
+            return None
+        gamma = get(f"{bn_key}.weight")
+        beta = get(f"{bn_key}.bias")
+        mean = get(f"{bn_key}.running_mean")
+        var = get(f"{bn_key}.running_var")
+        scale = gamma / np.sqrt(var + 1e-5)
+        return {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "scale": scale.astype(np.float32),
+            "shift": (beta - mean * scale).astype(np.float32),
+        }
+
+    stem = [conv_bn(f"visual.conv{i}", f"visual.bn{i}") for i in (1, 2, 3)]
+    if any(s is None for s in stem):
+        return None
+    layers = []
+    for si in range(4):
+        stage = []
+        bi = 0
+        while f"visual.layer{si + 1}.{bi}.conv1.weight" in state:
+            base = f"visual.layer{si + 1}.{bi}"
+            blk = {
+                "conv1": conv_bn(f"{base}.conv1", f"{base}.bn1"),
+                "conv2": conv_bn(f"{base}.conv2", f"{base}.bn2"),
+                "conv3": conv_bn(f"{base}.conv3", f"{base}.bn3"),
+                "stride": (2 if si > 0 else 1) if bi == 0 else 1,
+            }
+            if f"{base}.downsample.0.weight" in state:
+                blk["down"] = conv_bn(f"{base}.downsample.0", f"{base}.downsample.1")
+            stage.append(blk)
+            bi += 1
+        if bi != spec.layers[si]:
+            return None
+        layers.append(stage)
+
+    def lin(k):
+        return {"kernel": get(f"visual.attnpool.{k}.weight").T,
+                "bias": get(f"visual.attnpool.{k}.bias")}
+
+    pool = {
+        "pos": get("visual.attnpool.positional_embedding"),
+        "q": lin("q_proj"),
+        "k": lin("k_proj"),
+        "v": lin("v_proj"),
+        "c": lin("c_proj"),
+    }
+    return {"stem": stem, "layers": layers, "attnpool": pool}
+
+
+def _conv_bn_apply(p, x, stride=1, pad=0):
+    h = jax.lax.conv_general_dilated(
+        x, p["kernel"], (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return h * p["scale"] + p["shift"]
+
+
+def _avgpool(x, k):
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+    )
+    return s / float(k * k)
+
+
+def _rn_encode(params: Dict, spec: ResNetSpec, x: jax.Array) -> jax.Array:
+    relu = jax.nn.relu
+    h = relu(_conv_bn_apply(params["stem"][0], x, stride=2, pad=1))
+    h = relu(_conv_bn_apply(params["stem"][1], h, pad=1))
+    h = relu(_conv_bn_apply(params["stem"][2], h, pad=1))
+    h = _avgpool(h, 2)
+    for stage in params["layers"]:
+        for blk in stage:
+            stride = blk["stride"]
+            out = relu(_conv_bn_apply(blk["conv1"], h))
+            out = relu(_conv_bn_apply(blk["conv2"], out, pad=1))
+            if stride > 1:
+                out = _avgpool(out, stride)
+            out = _conv_bn_apply(blk["conv3"], out)
+            idn = h
+            if "down" in blk:
+                if stride > 1:
+                    idn = _avgpool(idn, stride)
+                idn = _conv_bn_apply(blk["down"], idn)
+            h = relu(out + idn)
+    # AttentionPool2d: mean token as query over (mean + spatial) tokens
+    p = params["attnpool"]
+    b, hh, ww, c = h.shape
+    tokens = h.reshape(b, hh * ww, c)
+    xq = jnp.concatenate([jnp.mean(tokens, axis=1, keepdims=True), tokens], axis=1)
+    xq = xq + p["pos"]
+    n1 = hh * ww + 1
+    d = c // spec.heads
+    q = _dense(xq[:, :1], p["q"]).reshape(b, spec.heads, d)
+    k = _dense(xq, p["k"]).reshape(b, n1, spec.heads, d)
+    v = _dense(xq, p["v"]).reshape(b, n1, spec.heads, d)
+    attn = jnp.einsum("bhd,bkhd->bhk", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn / np.sqrt(d), axis=-1)
+    out = jnp.einsum("bhk,bkhd->bhd", attn, v).reshape(b, c)
+    return _dense(out, p["c"])
 
 
 # -- torch state-dict importers ------------------------------------------------
@@ -338,16 +518,30 @@ def _vit_encode(params: Dict, spec: ViTSpec, x: jax.Array) -> jax.Array:
 @functools.lru_cache(maxsize=4)
 def _cached_encoder(model_name: str, weights_path: Optional[str]):
     spec = MODEL_SPECS[model_name]
+    is_rn = isinstance(spec, ResNetSpec)
     params = None
     pretrained = False
     if weights_path and os.path.exists(weights_path):
-        params = load_vit_from_torch(weights_path, spec)
+        if is_rn:
+            import torch
+
+            state = torch.load(weights_path, map_location="cpu", weights_only=True)
+            if isinstance(state, dict) and "state_dict" in state:
+                state = state["state_dict"]
+            params = _import_clip_rn(state, spec)
+        else:
+            params = load_vit_from_torch(weights_path, spec)
         pretrained = params is not None
     if params is None:
-        params = _init_vit_params(spec)
-    params = jax.tree.map(jnp.asarray, params)
+        params = _init_rn_params(spec) if is_rn else _init_vit_params(spec)
+    # "stride" entries are static ints, not arrays — keep them out of the tree map
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, params
+    )
 
     def encode(x: jax.Array) -> jax.Array:
+        if is_rn:
+            return _rn_encode(params, spec, x)
         return _vit_encode(params, spec, x)
 
     return encode, pretrained

@@ -355,3 +355,120 @@ def test_vgg19_import_forward_equality(tmp_path, rng):
         np.testing.assert_allclose(
             np.asarray(got[name]).transpose(0, 3, 1, 2), want[name],
             rtol=3e-4, atol=3e-5)
+
+
+# -- OpenAI CLIP RN50 (ModifiedResNet) ---------------------------------------------
+
+
+def _rn_state(rng, width=4, layers=(1, 1, 1, 1), embed=16, image=32):
+    state = {}
+
+    def conv(key, i, o, k):
+        state[f"{key}.weight"] = _t(rng, o, i, k, k, scale=np.sqrt(2.0 / (k * k * i)))
+
+    def bn(key, c):
+        state[f"{key}.weight"] = 1 + _t(rng, c, scale=0.1)
+        state[f"{key}.bias"] = _t(rng, c, scale=0.1)
+        state[f"{key}.running_mean"] = _t(rng, c, scale=0.1)
+        state[f"{key}.running_var"] = 1 + torch.from_numpy(
+            np.abs(rng.randn(c) * 0.1).astype(np.float32))
+
+    conv("visual.conv1", 3, width // 2, 3); bn("visual.bn1", width // 2)
+    conv("visual.conv2", width // 2, width // 2, 3); bn("visual.bn2", width // 2)
+    conv("visual.conv3", width // 2, width, 3); bn("visual.bn3", width)
+    in_ch = width
+    for si, (planes, n) in enumerate(zip([width, width * 2, width * 4, width * 8], layers)):
+        for bi in range(n):
+            base = f"visual.layer{si + 1}.{bi}"
+            conv(f"{base}.conv1", in_ch, planes, 1); bn(f"{base}.bn1", planes)
+            conv(f"{base}.conv2", planes, planes, 3); bn(f"{base}.bn2", planes)
+            conv(f"{base}.conv3", planes, planes * 4, 1); bn(f"{base}.bn3", planes * 4)
+            stride = (2 if si > 0 else 1) if bi == 0 else 1
+            if stride > 1 or in_ch != planes * 4:
+                conv(f"{base}.downsample.0", in_ch, planes * 4, 1)
+                bn(f"{base}.downsample.1", planes * 4)
+            in_ch = planes * 4
+    n_sp = (image // 32) ** 2
+    state["visual.attnpool.positional_embedding"] = _t(rng, n_sp + 1, in_ch)
+    for k, o in [("q_proj", in_ch), ("k_proj", in_ch), ("v_proj", in_ch), ("c_proj", embed)]:
+        state[f"visual.attnpool.{k}.weight"] = _t(rng, o, in_ch, scale=1 / np.sqrt(in_ch))
+        state[f"visual.attnpool.{k}.bias"] = _t(rng, o, scale=0.05)
+    return state
+
+
+@torch.no_grad()
+def _rn_oracle(state, x_nchw, width=4, layers=(1, 1, 1, 1), heads=4):
+    """CLIP model.py ModifiedResNet.forward, functionally."""
+    def bn(x, key):
+        return F.batch_norm(x, state[f"{key}.running_mean"], state[f"{key}.running_var"],
+                            state[f"{key}.weight"], state[f"{key}.bias"],
+                            training=False, eps=1e-5)
+
+    x = F.relu(bn(F.conv2d(x_nchw, state["visual.conv1.weight"], stride=2, padding=1), "visual.bn1"))
+    x = F.relu(bn(F.conv2d(x, state["visual.conv2.weight"], padding=1), "visual.bn2"))
+    x = F.relu(bn(F.conv2d(x, state["visual.conv3.weight"], padding=1), "visual.bn3"))
+    x = F.avg_pool2d(x, 2)
+    for si, n in enumerate(layers):
+        for bi in range(n):
+            base = f"visual.layer{si + 1}.{bi}"
+            stride = (2 if si > 0 else 1) if bi == 0 else 1
+            out = F.relu(bn(F.conv2d(x, state[f"{base}.conv1.weight"]), f"{base}.bn1"))
+            out = F.relu(bn(F.conv2d(out, state[f"{base}.conv2.weight"], padding=1), f"{base}.bn2"))
+            if stride > 1:
+                out = F.avg_pool2d(out, stride)
+            out = bn(F.conv2d(out, state[f"{base}.conv3.weight"]), f"{base}.bn3")
+            idn = x
+            if f"{base}.downsample.0.weight" in state:
+                if stride > 1:
+                    idn = F.avg_pool2d(idn, stride)
+                idn = bn(F.conv2d(idn, state[f"{base}.downsample.0.weight"]), f"{base}.downsample.1")
+            x = F.relu(out + idn)
+    c = x.shape[1]
+    x = x.flatten(2).permute(2, 0, 1)  # (HW)NC
+    x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+    x = x + state["visual.attnpool.positional_embedding"][:, None, :]
+    out, _ = F.multi_head_attention_forward(
+        query=x[:1], key=x, value=x, embed_dim_to_check=c, num_heads=heads,
+        in_proj_weight=None,
+        in_proj_bias=torch.cat([state["visual.attnpool.q_proj.bias"],
+                                state["visual.attnpool.k_proj.bias"],
+                                state["visual.attnpool.v_proj.bias"]]),
+        bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0.0,
+        out_proj_weight=state["visual.attnpool.c_proj.weight"],
+        out_proj_bias=state["visual.attnpool.c_proj.bias"],
+        use_separate_proj_weight=True,
+        q_proj_weight=state["visual.attnpool.q_proj.weight"],
+        k_proj_weight=state["visual.attnpool.k_proj.weight"],
+        v_proj_weight=state["visual.attnpool.v_proj.weight"],
+        training=False, need_weights=False)
+    return out.squeeze(0).numpy()
+
+
+def test_clip_rn50_import_forward_equality(tmp_path, rng):
+    import jax
+
+    from satlas_sr_tpu.metrics.clip_encoder import MODEL_SPECS, _import_clip_rn, _rn_encode
+
+    state = _rn_state(rng)
+    spec = MODEL_SPECS["test-tiny-rn"]
+    params = _import_clip_rn(state, spec)
+    assert params is not None
+
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    params = jax.tree.map(
+        lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, params)
+    got = np.asarray(_rn_encode(params, spec, jnp.asarray(x)))
+    want = _rn_oracle(state, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_rn50_encoder_builds_from_checkpoint_file(tmp_path, rng):
+    from satlas_sr_tpu.metrics.clip_encoder import get_encoder
+
+    state = _rn_state(rng)
+    path = str(tmp_path / "rn50.pth")
+    torch.save(state, path)
+    encode, pretrained = get_encoder("test-tiny-rn", path)
+    assert pretrained
+    out = encode(jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32)))
+    assert out.shape == (1, 16) and np.isfinite(np.asarray(out)).all()
