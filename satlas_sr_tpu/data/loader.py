@@ -169,18 +169,46 @@ def build_train_loader(
 
 
 class SequentialEvalLoader:
-    """One pass over a dataset in order (validation/test), batch size 1...n."""
+    """One ordered pass over a dataset (validation/test), process-shardable.
 
-    def __init__(self, dataset, batch_size: int = 1, collate: Callable = default_collate):
+    With world > 1 each rank loads only indices rank, rank+world, ... — the
+    dist_validation analog of the reference's per-rank val split. Every rank
+    iterates the SAME number of fixed-size batches (pads repeat the last
+    local sample and are masked out via the 'valid' key) so multi-process
+    SPMD eval stays in lockstep; 'index' carries global dataset indices for
+    stable output naming. Fixed batch shapes also keep the jitted eval step
+    at one compilation.
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, collate: Callable = default_collate,
+                 rank: int = 0, world: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
+        self.rank = rank
+        self.world = max(1, world)
+
+    def _steps(self) -> int:
+        per_rank = -(-len(self.dataset) // self.world)  # ceil: largest shard
+        return -(-per_rank // self.batch_size)
 
     def __len__(self) -> int:
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        return self._steps()
 
     def __iter__(self):
         n = len(self.dataset)
-        for start in range(0, n, self.batch_size):
-            samples = [self.dataset[i] for i in range(start, min(start + self.batch_size, n))]
-            yield self.collate(samples)
+        local = list(range(self.rank, n, self.world))
+        n_valid = len(local)
+        steps = self._steps()
+        total = steps * self.batch_size
+        if not local:
+            local = [0]  # empty shard: load a placeholder, all-invalid
+        padded = local + [local[-1]] * (total - len(local))
+        bs = self.batch_size
+        for s in range(steps):
+            idxs = padded[s * bs:(s + 1) * bs]
+            batch = self.collate([self.dataset[i] for i in idxs])
+            batch["index"] = np.asarray(idxs, np.int64)
+            batch["valid"] = np.asarray(
+                [s * bs + j < n_valid for j in range(bs)], bool)
+            yield batch

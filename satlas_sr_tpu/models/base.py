@@ -244,16 +244,27 @@ class BaseModel:
         for batch in loader:
             sr_uint8 = self.eval_outputs(batch)  # [B, H, W, 3] uint8
             gt = batch.get("hr")
+            # process-sharded loaders mark padding rows invalid and carry
+            # global dataset indices for stable output naming
+            valid = batch.get("valid")
+            if valid is None:
+                valid = np.ones((sr_uint8.shape[0],), bool)
+            indices = batch.get("index")
             if gt is not None and fast_fns:
                 # device-batched metrics over the whole eval batch
                 sr_dev = jnp.asarray(sr_uint8)
                 gt_dev = jnp.asarray(gt)
+                mask = jnp.asarray(valid, jnp.float32)
                 for name, fn in fast_fns.items():
-                    self.metric_results[name] += float(jnp.sum(fn(sr_dev, gt_dev)))
+                    self.metric_results[name] += float(jnp.sum(fn(sr_dev, gt_dev) * mask))
             for b in range(sr_uint8.shape[0]):
-                img_name = str(count)
+                if not valid[b]:
+                    continue
+                img_name = str(int(indices[b])) if indices is not None else str(count)
                 sr_img = sr_uint8[b]
-                if save_img and is_main_process():
+                # each process saves its OWN shard's images (dist_validation
+                # semantics); single-process this is everything, as before
+                if save_img:
                     if self.opt.get("is_train"):
                         path = os.path.join(self.opt["path"]["visualization"], img_name,
                                             f"{img_name}_{current_iter}.png")
@@ -263,7 +274,7 @@ class BaseModel:
                     write_png(path, sr_img)
                 if gt is not None and metrics2run:
                     gt_img = np.asarray(gt[b])
-                    if save_img and is_main_process() and not self.opt.get("is_train"):
+                    if save_img and not self.opt.get("is_train"):
                         path = os.path.join(self.opt["path"]["visualization"], dataset_name,
                                             f"{img_name}_{self.opt['name']}_gt.png")
                         write_png(path, gt_img)
@@ -276,6 +287,19 @@ class BaseModel:
                         except Exception as e:  # metric tower unavailable etc.
                             self.logger.warning(f"metric {name} failed: {e}")
                 count += 1
+
+        if metrics2run and jax.process_count() > 1:
+            # sum per-process accumulators (+ count) before averaging — the
+            # reference's dist_validation reduce (SURVEY.md §2.9)
+            from ..parallel.mesh import sum_across_processes
+
+            names = sorted(self.metric_results)
+            vec = np.asarray([count] + [self.metric_results[m] for m in names],
+                             np.float64)
+            total = sum_across_processes(vec)
+            count = int(total[0])
+            for i, m in enumerate(names):
+                self.metric_results[m] = float(total[1 + i])
 
         if metrics2run and count:
             for metric in self.metric_results:

@@ -346,8 +346,14 @@ class ESRGANModel(BaseModel):
         return self.state.get("ema", self.state["g"]["params"])
 
     def eval_outputs(self, batch: Dict[str, Any]) -> np.ndarray:
-        out = self._eval_step(self.eval_params(), jnp.asarray(batch["lr"]))
-        return np.asarray(out)
+        # Shard the eval batch over the mesh (same path as InferenceEngine):
+        # devices split the batch when divisible, and in multi-process runs
+        # each host feeds its local shard and reads only its rows back.
+        from ..parallel.mesh import local_rows, shard_rows_padded
+
+        lr, n = shard_rows_padded(self.mesh, np.asarray(batch["lr"]))
+        out = self._eval_step(self.eval_params(), lr)
+        return local_rows(out)[:n]
 
     def network_checkpoints(self) -> Dict[str, Dict[str, Any]]:
         nets = {

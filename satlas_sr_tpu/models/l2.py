@@ -145,9 +145,11 @@ class L2Model(BaseModel):
         return logs
 
     def eval_outputs(self, batch: Dict[str, Any]) -> np.ndarray:
-        lr = self._prep_lr(np.asarray(batch["lr"]))
-        out = self._eval_step(self.state["params"], jnp.asarray(lr))
-        return np.asarray(out)
+        from ..parallel.mesh import local_rows, shard_rows_padded
+
+        lr, n = shard_rows_padded(self.mesh, self._prep_lr(np.asarray(batch["lr"])))
+        out = self._eval_step(self.state["params"], lr)
+        return local_rows(out)[:n]
 
     def network_checkpoints(self) -> Dict[str, Dict[str, Any]]:
         ema = self.state.get("ema", self.state["params"])

@@ -77,6 +77,55 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def shard_rows_padded(mesh: Mesh, x: np.ndarray):
+    """Shard host rows over the mesh, padding to the per-process device share.
+
+    Eval batches must never hit shard_batch's replicated fallback in
+    multi-process runs (each process holds DIFFERENT rows; a replicated
+    device_put asserts cross-process equality). Pad with repeats of the last
+    row so (local_rows * n_processes) always divides the mesh, and return
+    (global_array, n_real_local_rows) so callers can drop the padding.
+    """
+    x = np.asarray(x)
+    n_dev = mesh.devices.size
+    share = max(1, n_dev // jax.process_count())
+    b = x.shape[0]
+    pad = (-b) % share
+    if pad:
+        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+    return shard_batch(mesh, x), b
+
+
+def local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in global order.
+
+    The inverse of shard_batch for outputs: multi-process eval feeds local
+    shards in and reads local results back without materialising the (not
+    fully addressable) global array. Replicated arrays come back whole.
+    """
+    if isinstance(arr, np.ndarray):
+        return arr
+    seen = {}
+    for s in arr.addressable_shards:
+        start = 0 if s.index[0].start is None else int(s.index[0].start)
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
+def sum_across_processes(vec: np.ndarray) -> np.ndarray:
+    """Element-wise sum of a small host vector over all processes.
+
+    The reduce_loss_dict/dist_validation analog for host-side metric
+    accumulators (reference: torch.distributed.reduce)."""
+    if jax.process_count() == 1:
+        return np.asarray(vec)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(vec, np.float32))
+    return np.asarray(gathered).sum(axis=0)
+
+
 def local_shard_indices(total: int, shard: int, num_shards: int):
     """Round-robin indices for per-process data sharding (EnlargedSampler analog)."""
     return list(range(shard, total, num_shards))

@@ -32,7 +32,9 @@ def test_pipeline(root_path: str, argv=None) -> dict:
     for _, dataset_opt in sorted((opt.get("test_datasets") or {}).items()):
         test_set = build_dataset(dataset_opt)
         logger.info(f"Number of test images in {dataset_opt['name']}: {len(test_set)}")
-        loaders.append(SequentialEvalLoader(test_set, batch_size=int(dataset_opt.get("batch_size", 1))))
+        loaders.append(SequentialEvalLoader(
+            test_set, batch_size=int(dataset_opt.get("batch_size", 1)),
+            rank=opt.get("rank", 0), world=opt.get("world_size", 1)))
 
     model = build_model(opt)
     results = {}

@@ -76,7 +76,8 @@ def train_pipeline(root_path: str, argv=None) -> None:
             continue
         val_set = build_dataset(ds_opt)
         val_loaders.append(
-            SequentialEvalLoader(val_set, batch_size=int(ds_opt.get("batch_size", 1)))
+            SequentialEvalLoader(val_set, batch_size=int(ds_opt.get("batch_size", 1)),
+                                 rank=opt["rank"], world=opt["world_size"])
         )
 
     import jax
