@@ -126,12 +126,84 @@ def cpu_baseline() -> float:
     return tiles
 
 
+def train_bench(batch: int, iters: int = 5, trials: int = 3) -> float:
+    """Full ESRGAN GAN step samples/s (G fwd/bwd + VGG percep + D fwd/bwd +
+    spectral norm + EMA + both optimizers), bf16, lazy logs."""
+    import jax
+
+    from satlas_sr_tpu.models import build_model
+
+    opt = {
+        "name": "bench_train", "model_type": "SSRESRGANModel", "scale": 4,
+        "manual_seed": 0, "is_train": True,
+        "l1_gt_usm": True, "percep_gt_usm": True, "gan_gt_usm": False,
+        "feed_disc_lr": True, "compute_dtype": "bfloat16",
+        "datasets": {"train": {"n_s2_images": 8}},
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": 24, "num_out_ch": 3,
+                      "num_feat": 64, "num_block": 23, "num_grow_ch": 32},
+        "network_d": {"type": "SSR_UNetDiscriminatorSN", "num_in_ch": 27,
+                      "num_feat": 64},
+        "path": {},
+        "train": {
+            "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "optim_d": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [400000], "gamma": 0.5},
+            "total_iter": 10, "warmup_iter": -1,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0, "reduction": "mean"},
+            "perceptual_opt": {
+                "type": "PerceptualLoss",
+                "layer_weights": {"conv1_2": 0.1, "conv2_2": 0.1, "conv3_4": 1.0,
+                                  "conv4_4": 1.0, "conv5_4": 1.0},
+                "vgg_type": "vgg19", "use_input_norm": True,
+                "perceptual_weight": 1.0, "style_weight": 0,
+                "range_norm": False, "criterion": "l1",
+            },
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                        "real_label_val": 1.0, "fake_label_val": 0.0,
+                        "loss_weight": 0.1},
+            "net_d_iters": 1, "net_d_init_iters": 0,
+        },
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 100000},
+    }
+    model = build_model(opt)
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "lr": (rng.rand(batch, 32, 32, 24) * 255).astype(np.uint8),
+        "hr": (rng.rand(batch, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch_np, 1)  # compile
+    jax.block_until_ready(logs)
+    best = 0.0
+    step = 2
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            logs = model.train_iter(batch_np, step)
+            step += 1
+        jax.block_until_ready(logs)
+        best = max(best, iters * batch / (time.perf_counter() - t0))
+    return best
+
+
 def main():
     import jax
 
     from satlas_sr_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if "--train" in sys.argv:
+        batch = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+        sps = train_bench(batch)
+        log(f"train step: {sps:.1f} samples/s/chip (batch={batch}, bf16)")
+        print(json.dumps({
+            "metric": "ESRGAN GAN train samples/sec/chip (batch 32, bf16)",
+            "value": round(sps, 1),
+            "unit": "samples/s",
+            "vs_baseline": None,
+        }))
+        return
 
     devices = jax.devices()
     log("devices:", devices)

@@ -26,7 +26,11 @@ from .utils.options import copy_opt_file, dict2str, make_exp_dirs, parse_options
 
 
 def find_resume_state(opt) -> Optional[str]:
-    """Auto-locate the latest training_states/*.state (check_resume parity)."""
+    """Auto-locate the latest INTACT training_states/*.state (check_resume
+    parity, plus integrity checking: a state torn by a mid-write kill is
+    skipped with a warning and the previous snapshot is used instead)."""
+    from .utils.checkpoint import verify_pytree_file
+
     explicit = (opt.get("path") or {}).get("resume_state")
     if explicit:
         return explicit
@@ -36,12 +40,19 @@ def find_resume_state(opt) -> Optional[str]:
     if not os.path.isdir(state_dir):
         return None
     states = [f for f in os.listdir(state_dir) if f.endswith(".state")]
-    if not states:
-        return None
+
     def key(f):
         stem = f[:-6]
         return int(stem) if stem.isdigit() else -1
-    return os.path.join(state_dir, max(states, key=key))
+
+    for fname in sorted(states, key=key, reverse=True):
+        path = os.path.join(state_dir, fname)
+        if verify_pytree_file(path):
+            return path
+        get_root_logger().warning(
+            f"auto_resume: skipping corrupted/partial state {path}"
+        )
+    return None
 
 
 def train_pipeline(root_path: str, argv=None) -> None:

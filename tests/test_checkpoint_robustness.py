@@ -1,0 +1,169 @@
+"""Checkpoint integrity + cross-process-count resume (VERDICT r1 next #8)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from satlas_sr_tpu.utils.checkpoint import (CheckpointCorruptError, load_pytree,
+                                            save_pytree, verify_pytree_file)
+
+
+def _tree(rng):
+    return {"a": rng.rand(16, 16).astype(np.float32),
+            "b": {"c": rng.rand(8).astype(np.float32)}}
+
+
+def test_save_load_roundtrip_with_footer(tmp_path, rng):
+    path = str(tmp_path / "x.state")
+    tree = _tree(rng)
+    save_pytree(path, tree)
+    assert verify_pytree_file(path)
+    out = load_pytree(path)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+
+
+def test_truncated_checkpoint_detected(tmp_path, rng):
+    import pytest
+
+    path = str(tmp_path / "x.state")
+    save_pytree(path, _tree(rng))
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[: len(blob) // 2])  # torn write
+    assert not verify_pytree_file(path)
+    with pytest.raises(CheckpointCorruptError):
+        load_pytree(path)
+
+
+def test_bitflip_checkpoint_detected(tmp_path, rng):
+    import pytest
+
+    path = str(tmp_path / "x.state")
+    save_pytree(path, _tree(rng))
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 3] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    assert not verify_pytree_file(path)
+    with pytest.raises(CheckpointCorruptError):
+        load_pytree(path)
+
+
+def test_legacy_footerless_checkpoint_loads(tmp_path, rng):
+    from flax import serialization
+
+    path = str(tmp_path / "legacy.state")
+    tree = _tree(rng)
+    open(path, "wb").write(serialization.to_bytes(tree))  # round-1 format
+    assert verify_pytree_file(path)
+    out = load_pytree(path)
+    np.testing.assert_array_equal(out["b"]["c"], tree["b"]["c"])
+
+
+def test_auto_resume_skips_corrupted_latest(tmp_path, rng):
+    from satlas_sr_tpu.train import find_resume_state
+
+    state_dir = tmp_path / "training_states"
+    state_dir.mkdir()
+    save_pytree(str(state_dir / "100.state"), _tree(rng))
+    save_pytree(str(state_dir / "200.state"), _tree(rng))
+    blob = open(state_dir / "200.state", "rb").read()
+    open(state_dir / "200.state", "wb").write(blob[:40])  # corrupt the latest
+    opt = {"auto_resume": True, "path": {"training_states": str(state_dir)}}
+    assert find_resume_state(opt) == str(state_dir / "100.state")
+    # all corrupted -> no resume, fresh start
+    open(state_dir / "100.state", "wb").write(b"junk")
+    assert find_resume_state(opt) is None
+
+
+_RESUME_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]; state = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+sys.path.insert(0, os.environ["SSR_REPO"])
+import numpy as np
+from satlas_sr_tpu.models import build_model
+
+opt_json = os.environ["SSR_OPT_JSON"]
+import json
+opt = json.loads(opt_json)
+model = build_model(opt)
+info = model.resume_training(state)
+rng = np.random.RandomState(100 + pid)  # different per-rank shard
+batch = {"lr": (rng.rand(2, 2, 32, 32, 3) * 255).astype(np.uint8),
+         "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8)}
+logs = model.train_iter(batch, info["iter"] + 1)
+print(f"RESULT {pid} resumed_iter={info['iter']} step={int(model.state['step'])} "
+      f"loss={float(logs['tot_loss']):.8f}", flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_resume_across_process_counts(tmp_path, rng):
+    """Save on 1 process, resume on 2 (cluster regrown between runs)."""
+    import json
+
+    from satlas_sr_tpu.models import build_model
+
+    opt = {
+        "name": "xresume", "model_type": "L2Model", "scale": 4, "manual_seed": 0,
+        "is_train": True, "datasets": {},
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "path": {"models": str(tmp_path / "models"),
+                 "training_states": str(tmp_path / "training_states")},
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [100], "gamma": 0.5},
+                  "total_iter": 5, "warmup_iter": -1},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 100, "save_pth": False},
+    }
+    model = build_model(opt)
+    batch = {"lr": (rng.rand(4, 2, 32, 32, 3) * 255).astype(np.uint8),
+             "hr": (rng.rand(4, 128, 128, 3) * 255).astype(np.uint8)}
+    model.train_iter(batch, 1)
+    model.train_iter(batch, 2)
+    model.save(epoch=0, current_iter=2)
+    state_path = str(tmp_path / "training_states" / "2.state")
+    assert os.path.exists(state_path) and verify_pytree_file(state_path)
+
+    port = _free_port()
+    worker = tmp_path / "resume_worker.py"
+    worker.write_text(_RESUME_WORKER)
+    env = dict(os.environ)
+    env["SSR_REPO"] = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    env["SSR_OPT_JSON"] = json.dumps(opt)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port), state_path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    results = {}
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        results[pid] = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+    for pid in (0, 1):
+        assert "resumed_iter=2" in results[pid], results
+        assert "step=3" in results[pid], results  # training continued
+    # post-resume global loss identical on both ranks (state replicated
+    # correctly over the 2-process mesh, collectives span both shards)
+    l0 = results[0].split("loss=")[1]
+    l1 = results[1].split("loss=")[1]
+    assert l0 == l1, results
