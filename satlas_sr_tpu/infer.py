@@ -65,27 +65,56 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
     seed = opt.get("manual_seed", 0) or 0
     meta: list = []  # (paths, previews) per batch, in flight order
 
+    # Host pipeline: PNG decode on a prefetching thread pool and PNG encode on
+    # a writer pool (the native libpng extension releases the GIL for both),
+    # so host IO overlaps device compute and the tunnel's result fetches.
+    import itertools
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(2, (os.cpu_count() or 1))
+    decode_prefetch = int(opt.get("decode_prefetch", 3))
+    decode_pool = ThreadPoolExecutor(max_workers=workers)
+    write_pool = ThreadPoolExecutor(max_workers=workers)
+    write_futures: list = []
+
     def produce():
-        # Decoding happens between device dispatches (run_many keeps one batch
-        # in flight), so host PNG work overlaps accelerator compute.
-        for batch_paths in batches:
-            inputs, previews = format_s2naip_batch(batch_paths, n_lr_images, seed=seed)
-            meta.append((batch_paths, previews))
+        it = iter(batches)
+        in_flight: deque = deque()
+        for bp in itertools.islice(it, decode_prefetch):
+            in_flight.append((bp, decode_pool.submit(
+                format_s2naip_batch, bp, n_lr_images, seed=seed)))
+        while in_flight:
+            bp, fut = in_flight.popleft()
+            for bp2 in itertools.islice(it, 1):
+                in_flight.append((bp2, decode_pool.submit(
+                    format_s2naip_batch, bp2, n_lr_images, seed=seed)))
+            inputs, previews = fut.result()
+            meta.append((bp, previews))
             yield inputs
 
-    for outputs in engine.run_many(produce()):
-        batch_paths, previews = meta.pop(0)
-        for k, path in enumerate(batch_paths):
-            if grid_naming:
-                # Preserve {tile}/{i}_{j}.png for stitching (ssr/infer_grid.py:49-53).
-                tile, idx = path.split("/")[-2], path.split("/")[-1]
-                write_png(os.path.join(save_path, tile, idx), outputs[k])
-            else:
-                out_dir = os.path.join(save_path, str(count))
-                if save_lr:
-                    write_png(os.path.join(out_dir, "lr.png"), previews[k])
-                write_png(os.path.join(out_dir, "sr.png"), outputs[k])
-            count += 1
+    try:
+        for outputs in engine.run_many(produce()):
+            batch_paths, previews = meta.pop(0)
+            for k, path in enumerate(batch_paths):
+                if grid_naming:
+                    # Preserve {tile}/{i}_{j}.png for stitching (ssr/infer_grid.py:49-53).
+                    tile, idx = path.split("/")[-2], path.split("/")[-1]
+                    write_futures.append(write_pool.submit(
+                        write_png, os.path.join(save_path, tile, idx), outputs[k]))
+                else:
+                    out_dir = os.path.join(save_path, str(count))
+                    if save_lr:
+                        write_futures.append(write_pool.submit(
+                            write_png, os.path.join(out_dir, "lr.png"), previews[k]))
+                    write_futures.append(write_pool.submit(
+                        write_png, os.path.join(out_dir, "sr.png"), outputs[k]))
+                count += 1
+        for f in write_futures:
+            f.result()  # surface any write error
+    finally:
+        decode_pool.shutdown(wait=True)
+        write_pool.shutdown(wait=True)
     dt = time.time() - t0
     if count:
         print(f"Done: {count} images in {dt:.2f}s ({count / dt:.1f} img/s)")

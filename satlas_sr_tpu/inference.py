@@ -100,23 +100,26 @@ class InferenceEngine:
         y = self._run(self.variables, self._put(batch_np))
         return np.asarray(y)[:n]
 
-    def run_many(self, batches: Iterable[np.ndarray]) -> Iterable[np.ndarray]:
-        """Pipelined execution: next batch transfers while current computes.
+    def run_many(self, batches: Iterable[np.ndarray], depth: int = 3) -> Iterable[np.ndarray]:
+        """Pipelined execution: up to `depth` batches in flight.
 
-        device_put and dispatch are async in JAX; keeping one batch in flight
-        overlaps PCIe/tunnel transfer and host formatting with device compute
-        (the reference's CUDAPrefetcher role, train.py:77-86).
+        device_put and dispatch are async in JAX; a multi-deep flight window
+        overlaps PCIe/tunnel transfer, device compute AND the result fetch of
+        earlier batches with host formatting of later ones (the reference's
+        CUDAPrefetcher role, train.py:77-86 — but on the output side too,
+        which matters on a high-latency tunnel link).
         """
-        pending = None  # (n, device_result)
+        from collections import deque
+
+        pending: deque = deque()  # (n, device_result)
         for b in batches:
             n = b.shape[0]
-            y = self._run(self.variables, self._put(b))
-            if pending is not None:
-                pn, py = pending
+            pending.append((n, self._run(self.variables, self._put(b))))
+            if len(pending) >= max(1, depth):
+                pn, py = pending.popleft()
                 yield np.asarray(py)[:pn]
-            pending = (n, y)
-        if pending is not None:
-            pn, py = pending
+        while pending:
+            pn, py = pending.popleft()
             yield np.asarray(py)[:pn]
 
 

@@ -16,8 +16,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.p
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+    remat = "remat" in sys.argv[3:]
+    # 'gated': net_d_init_iters far in the future -> every measured step takes
+    # the lax.cond SKIP branch (G forward only, no G backward/step). Compares
+    # against the default always-update config to quantify the gate's cost.
+    gated = "gated" in sys.argv[3:]
 
+    from satlas_sr_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from satlas_sr_tpu.models import build_model
 
     opt = {
@@ -50,7 +57,7 @@ def main():
             "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
                         "real_label_val": 1.0, "fake_label_val": 0.0,
                         "loss_weight": 0.1},
-            "net_d_iters": 1, "net_d_init_iters": 0,
+            "net_d_iters": 1, "net_d_init_iters": 1_000_000_000 if gated else 0,
         },
         "logger": {"print_freq": 1, "save_checkpoint_freq": 100000},
     }
