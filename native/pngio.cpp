@@ -9,9 +9,11 @@
 
 #include <png.h>
 
+#include <atomic>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -87,6 +89,33 @@ int pngio_read(const char* path, int* out_h, int* out_w, int* out_c,
 }
 
 void pngio_free(void* buf) { free(buf); }
+
+// Batched multi-threaded decode: one Python->C call per batch instead of one
+// per file (the reference's DataLoader-worker role, fully native). Each file
+// decodes on a C++ thread-pool worker; per-file results land in the caller's
+// arrays. rc[i] != 0 marks a failed file (its h/w/c/buf are undefined);
+// callers free each successful buf with pngio_free.
+int pngio_read_many(const char** paths, int n, int* hs, int* ws, int* cs,
+                    void** bufs, int* rcs, int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      bufs[i] = nullptr;
+      rcs[i] = pngio_read(paths[i], &hs[i], &ws[i], &cs[i], &bufs[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return 0;
+}
 
 // Encode an H*W*C uint8 buffer (C in {1,3}) to `path`. Returns 0 on success.
 int pngio_write(const char* path, const void* data, int h, int w, int c) {

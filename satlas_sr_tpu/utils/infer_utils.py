@@ -62,22 +62,40 @@ def format_s2naip_batch(
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Decode + format many pngs into one [B, 32, 32, T*3] uint8 batch.
 
-    Decoding runs on a thread pool — the native libpng extension releases the
-    GIL, so host formatting overlaps across files (and with device compute
-    when driven through InferenceEngine.run_many).
+    Decode is ONE native call per batch (pngio_read_many: a C++ thread pool
+    inside the extension — no per-file Python/ctypes overhead); formatting is
+    numpy on the decoded arrays. Falls back to a Python thread pool driving
+    single-file reads when the batched native entry point is unavailable.
     """
-    from concurrent.futures import ThreadPoolExecutor
+    from .native_png import read_png_many
 
-    def load(args):
-        i, path = args
+    decoded = None
+    try:
+        decoded = read_png_many(list(pngs))
+    except Exception:
+        decoded = None
+
+    def fmt(i, arr):
         rng = np.random.RandomState(seed + i)
-        return format_s2naip_data(read_png(path), n_s2_images, rng)
+        return format_s2naip_data(arr, n_s2_images, rng)
 
-    if len(pngs) > 1 and workers > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            results = list(pool.map(load, enumerate(pngs)))
+    if decoded is not None:
+        results = [
+            fmt(i, arr if arr is not None else read_png(pngs[i]))
+            for i, arr in enumerate(decoded)
+        ]
     else:
-        results = [load(x) for x in enumerate(pngs)]
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(args):
+            i, path = args
+            return fmt(i, read_png(path))
+
+        if len(pngs) > 1 and workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(load, enumerate(pngs)))
+        else:
+            results = [load(x) for x in enumerate(pngs)]
     inputs = [r[0] for r in results]
     previews = [r[1] for r in results]
     return np.stack(inputs), previews

@@ -37,6 +37,18 @@ def _load():
             ctypes.POINTER(ctypes.c_void_p),
         ]
         lib.pngio_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "pngio_read_many"):
+            lib.pngio_read_many.restype = ctypes.c_int
+            lib.pngio_read_many.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
         lib.pngio_write.restype = ctypes.c_int
         lib.pngio_write.argtypes = [
             ctypes.c_char_p,
@@ -75,6 +87,45 @@ def read_png(path: str) -> Optional[np.ndarray]:
     finally:
         lib.pngio_free(buf)
     return arr.reshape(h.value, w.value, c.value)
+
+
+def read_png_many(paths, n_threads: int = 0):
+    """Decode many PNGs in ONE native call on a C++ thread pool.
+
+    Returns a list of HWC uint8 arrays (None per failed file), or None if the
+    native library (or the batched entry point) is unavailable. One
+    Python->C transition per BATCH — the per-file ctypes/thread overhead of
+    driving pngio_read from Python threads disappears.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "pngio_read_many"):
+        return None
+    n = len(paths)
+    if n == 0:
+        return []
+    if n_threads <= 0:
+        n_threads = min(8, max(2, (os.cpu_count() or 1) * 2))
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    cs = (ctypes.c_int * n)()
+    bufs = (ctypes.c_void_p * n)()
+    rcs = (ctypes.c_int * n)()
+    lib.pngio_read_many(c_paths, n, hs, ws, cs, bufs, rcs, n_threads)
+    out = []
+    for i in range(n):
+        if rcs[i] != 0 or not bufs[i]:
+            out.append(None)
+            continue
+        try:
+            sz = hs[i] * ws[i] * cs[i]
+            arr = np.ctypeslib.as_array(
+                ctypes.cast(bufs[i], ctypes.POINTER(ctypes.c_uint8)), shape=(sz,)
+            ).copy()
+        finally:
+            lib.pngio_free(bufs[i])
+        out.append(arr.reshape(hs[i], ws[i], cs[i]))
+    return out
 
 
 def write_png(path: str, img: np.ndarray) -> bool:
