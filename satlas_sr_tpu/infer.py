@@ -79,16 +79,21 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
     write_futures: list = []
 
     def produce():
-        it = iter(batches)
+        it = iter(enumerate(batches))
         in_flight: deque = deque()
-        for bp in itertools.islice(it, decode_prefetch):
-            in_flight.append((bp, decode_pool.submit(
-                format_s2naip_batch, bp, n_lr_images, seed=seed)))
+
+        def submit(bi, bp):
+            # global-index seeding: formatting is invariant to batch size
+            return decode_pool.submit(
+                format_s2naip_batch, bp, n_lr_images, seed=seed,
+                index_offset=bi * engine.batch_size)
+
+        for bi, bp in itertools.islice(it, decode_prefetch):
+            in_flight.append((bp, submit(bi, bp)))
         while in_flight:
             bp, fut = in_flight.popleft()
-            for bp2 in itertools.islice(it, 1):
-                in_flight.append((bp2, decode_pool.submit(
-                    format_s2naip_batch, bp2, n_lr_images, seed=seed)))
+            for bi2, bp2 in itertools.islice(it, 1):
+                in_flight.append((bp2, submit(bi2, bp2)))
             inputs, previews = fut.result()
             meta.append((bp, previews))
             yield inputs

@@ -106,6 +106,11 @@ class ESRGANModel(BaseModel):
 
             self.cri_pix = build_loss(train_opt["pixel_opt"]) if train_opt.get("pixel_opt") else None
             percep_opt = train_opt.get("perceptual_opt") or {}
+            if percep_opt:
+                # the VGG tower follows the model's compute dtype (bf16 halves
+                # its fwd+bwd time; YAML `dtype` key overrides if set)
+                percep_opt = dict(percep_opt)
+                percep_opt.setdefault("dtype", self._dtype)
             self.cri_perceptual = build_loss(percep_opt) if percep_opt else None
             # Which perceptual components exist is static (weights in config);
             # needed so the cond skip-branch zero-logs match g_update's keys.

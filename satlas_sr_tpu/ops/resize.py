@@ -42,6 +42,21 @@ def _linear_weights(out_size: int, in_size: int, dtype):
     return lo, hi, w_hi
 
 
+def _interp_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """Dense [out, in] half-pixel-centre linear interpolation matrix.
+
+    Spatial gathers (jnp.take) lower to per-row dynamic-slice while-loops on
+    TPU — profiled at ~4 ms per 128-row resize in the GAN step. A dense
+    interpolation matmul instead rides the MXU and fuses; sizes here are tiny
+    (<=384^2 f32)."""
+    lo, hi, w_hi = _linear_weights(out_size, in_size, jnp.float32)
+    m = jnp.zeros((out_size, in_size), jnp.float32)
+    rows = jnp.arange(out_size)
+    m = m.at[rows, lo].add(1.0 - w_hi)
+    m = m.at[rows, hi].add(w_hi)  # lo == hi at clamped edges: weights sum to 1
+    return m
+
+
 def upsample_bilinear(x: jax.Array, scale: int) -> jax.Array:
     """Bilinear upsample (align_corners=False), matching torch's F.interpolate."""
     n, h, w, c = x.shape
@@ -62,13 +77,13 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], antialias: bool = Fal
         return jax.image.resize(x, (n, oh, ow, c), method="linear", antialias=True)
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    lo_h, hi_h, wh = _linear_weights(oh, h, jnp.float32)
-    lo_w, hi_w, ww = _linear_weights(ow, w, jnp.float32)
-    # Interpolate rows then columns; gathers on the spatial axes.
-    top = jnp.take(xf, lo_h, axis=1)
-    bot = jnp.take(xf, hi_h, axis=1)
-    xf = top + (bot - top) * wh[None, :, None, None]
-    left = jnp.take(xf, lo_w, axis=2)
-    right = jnp.take(xf, hi_w, axis=2)
-    xf = left + (right - left) * ww[None, None, :, None]
+    # Separable interpolation as two small exact matmuls (no spatial gathers).
+    if oh != h:
+        mh = _interp_matrix(oh, h)
+        xf = jnp.einsum("oh,nhwc->nowc", mh, xf,
+                        precision=jax.lax.Precision.HIGHEST)
+    if ow != w:
+        mw = _interp_matrix(ow, w)
+        xf = jnp.einsum("pw,nhwc->nhpc", mw, xf,
+                        precision=jax.lax.Precision.HIGHEST)
     return xf.astype(dtype)

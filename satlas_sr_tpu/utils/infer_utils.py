@@ -58,7 +58,8 @@ def format_s2naip_data(
 
 
 def format_s2naip_batch(
-    pngs: Sequence[str], n_s2_images: int, seed: int = 0, workers: int = 4
+    pngs: Sequence[str], n_s2_images: int, seed: int = 0, workers: int = 4,
+    index_offset: int = 0,
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Decode + format many pngs into one [B, 32, 32, T*3] uint8 batch.
 
@@ -66,6 +67,10 @@ def format_s2naip_batch(
     inside the extension — no per-file Python/ctypes overhead); formatting is
     numpy on the decoded arrays. Falls back to a Python thread pool driving
     single-file reads when the batched native entry point is unavailable.
+
+    Frame-selection RNG is seeded by the GLOBAL image index
+    (seed + index_offset + i), so a corpus formats identically regardless of
+    how it is batched.
     """
     from .native_png import read_png_many
 
@@ -76,7 +81,7 @@ def format_s2naip_batch(
         decoded = None
 
     def fmt(i, arr):
-        rng = np.random.RandomState(seed + i)
+        rng = np.random.RandomState(seed + index_offset + i)
         return format_s2naip_data(arr, n_s2_images, rng)
 
     if decoded is not None:

@@ -200,3 +200,40 @@ def test_infer_single_frame_esrgan_1s2(tmp_path, rng):
     }
     assert run_inference(opt) == 1
     assert read_png(str(tmp_path / "out" / "0" / "sr.png")).shape == (128, 128, 3)
+
+
+def test_infer_multibatch_ordering_matches_per_image(tmp_path, rng):
+    """With a small batch size and the 3-deep flight window + decode/write
+    pools, every output file must still pair with ITS input (round-2
+    pipeline: ordering regression guard)."""
+    from satlas_sr_tpu.infer import run_inference
+    from satlas_sr_tpu.inference import InferenceEngine
+    from satlas_sr_tpu.utils.infer_utils import format_s2naip_batch
+    from satlas_sr_tpu.utils.model_utils import build_network
+
+    data_dir = tmp_path / "data"
+    for i in range(10):  # 5 batches of 2 -> deeper than the flight window
+        _write_s2_png(str(data_dir / f"chip{i:02d}" / "tci.png"), rng,
+                      n_frames=N_FRAMES)
+    opt = _opt(tmp_path, data_dir, tmp_path / "out")
+    opt["batch_size"] = 2
+    n = run_inference(opt, save_lr=False)
+    assert n == 10
+
+    # independent per-image reference outputs, same weights/engine path
+    import glob
+
+    model = build_network(opt)
+    from satlas_sr_tpu.utils.checkpoint import load_network_variables
+
+    variables = load_network_variables(
+        "SSR_RRDBNet", opt["path"]["pretrain_network_g"],
+        opt["network_g"], "params_ema")
+    engine = InferenceEngine(model, variables, batch_size=2,
+                             n_frames=N_FRAMES, matmul_precision="highest")
+    pngs = sorted(glob.glob(str(data_dir / "**" / "*.png"), recursive=True))
+    inputs, _ = format_s2naip_batch(pngs, N_FRAMES, seed=0)
+    for i, path in enumerate(pngs):
+        want = engine.run(inputs[i:i + 1])[0]
+        got = read_png(str(tmp_path / "out" / str(i) / "sr.png"))
+        assert np.array_equal(got, want), f"output {i} mismatched its input"
