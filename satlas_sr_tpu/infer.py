@@ -28,6 +28,24 @@ from .utils.model_utils import build_network
 from .utils.options import yaml_load
 
 
+def load_infer_variables(opt: dict, model, n_lr_images: int, use_3d: bool):
+    """Configured weights, or a seeded init (with the reference's warning)."""
+    path_opt = opt.get("path", {})
+    weights = path_opt.get("pretrain_network_g")
+    if weights:
+        return load_network_variables(
+            opt["network_g"]["type"], weights, opt["network_g"],
+            path_opt.get("param_key_g", "params_ema"),
+        )
+    print("WARNING: Model weights are not specified in configuration file.")
+    example = (
+        np.zeros((1, n_lr_images, 32, 32, 3), np.float32)
+        if use_3d
+        else np.zeros((1, 32, 32, n_lr_images * 3), np.float32)
+    )
+    return model.init(jax.random.PRNGKey(0), example)
+
+
 def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) -> int:
     data_dir = opt["data_dir"]
     n_lr_images = int(opt["n_lr_images"])
@@ -36,21 +54,7 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
     use_3d = opt["network_g"]["type"] in ("SRCNN", "HighResNet")
 
     model = build_network(opt)
-    path_opt = opt.get("path", {})
-    weights = path_opt.get("pretrain_network_g")
-    if weights:
-        variables = load_network_variables(
-            opt["network_g"]["type"], weights, opt["network_g"],
-            path_opt.get("param_key_g", "params_ema"),
-        )
-    else:
-        print("WARNING: Model weights are not specified in configuration file.")
-        example = (
-            np.zeros((1, n_lr_images, 32, 32, 3), np.float32)
-            if use_3d
-            else np.zeros((1, 32, 32, n_lr_images * 3), np.float32)
-        )
-        variables = model.init(jax.random.PRNGKey(0), example)
+    variables = load_infer_variables(opt, model, n_lr_images, use_3d)
 
     engine = InferenceEngine(
         model, variables, batch_size=batch_size, use_3d=use_3d, n_frames=n_lr_images,

@@ -7,6 +7,12 @@ the SR outputs into a 2048x2048 png and the first S2 frames into 512x512
 
 The per-chunk loop — "embarrassingly parallel" per SURVEY.md §3.4 — runs as
 device-sharded batches through the same InferenceEngine as infer.py.
+
+Beyond the reference: `whole_tile: true` runs the generator ONCE over each
+assembled 512x512 tile instead of 256 independent 32x32 chunks — a SEAMLESS
+2048x2048 SR output (chunked inference zero-pads every interior chunk edge),
+spatially sharded across devices via `spatial_shards` (XLA SPMD halo
+exchange; see parallel/mesh.py mesh_2d).
 """
 
 from __future__ import annotations
@@ -14,8 +20,14 @@ from __future__ import annotations
 import argparse
 import os
 
-from .infer import run_inference
-from .utils.infer_utils import stitch
+import jax
+import numpy as np
+
+from .infer import load_infer_variables, run_inference
+from .inference import InferenceEngine
+from .utils.imgio import write_png
+from .utils.infer_utils import assemble_tile, stitch
+from .utils.model_utils import build_network
 from .utils.options import yaml_load
 
 
@@ -33,6 +45,86 @@ def stitch_tiles(data_dir: str, save_path: str) -> None:
         stitch(tile_dir, 512, os.path.join(save_path, tile, "stitched_s2.png"), sentinel2=True)
 
 
+def run_whole_tile(opt: dict) -> int:
+    """One generator pass per WHOLE tile, spatially sharded over the mesh."""
+    data_dir = opt["data_dir"]
+    save_path = opt["save_path"]
+    n_lr_images = int(opt["n_lr_images"])
+    seed = int(opt.get("manual_seed", 0) or 0)
+    grid_size = int(opt.get("grid_size", 16))
+    spatial = int(opt.get("spatial_shards", 0))
+    if spatial <= 0:  # default: all local devices, largest power-of-2 fit
+        n = jax.local_device_count()
+        spatial = 1
+        while spatial * 2 <= n and (grid_size * 32) % (spatial * 2) == 0:
+            spatial *= 2
+
+    model = build_network(opt)
+    variables = load_infer_variables(opt, model, n_lr_images, use_3d=False)
+    engine = InferenceEngine(
+        model, variables, batch_size=int(opt.get("batch_size", 1)),
+        matmul_precision=str(opt.get("matmul_precision", "highest")),
+        spatial_shards=spatial,
+    )
+
+    tiles = []
+    for tile in sorted(os.listdir(data_dir)):
+        tile_dir = os.path.join(data_dir, tile)
+        if not os.path.isdir(tile_dir):
+            continue
+        if len(os.listdir(tile_dir)) < grid_size * grid_size:
+            print(f"Tile {tile} contains less than {grid_size * grid_size} "
+                  "chunks, cannot super-resolve whole. Skipping.")
+            continue
+        tiles.append(tile)
+    print(f"Whole-tile inference on {len(tiles)} tiles "
+          f"(spatial_shards={spatial}, batch={engine.batch_size}).")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .inference import batched
+
+    pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 1))
+    groups = batched(tiles, engine.batch_size)
+    previews: list = []
+
+    def assemble_group(g):
+        return [assemble_tile(os.path.join(data_dir, t), n_lr_images,
+                              seed, grid_size) for t in g]
+
+    def produce():
+        import itertools
+        from collections import deque
+
+        it = iter(groups)
+        in_flight = deque(pool.submit(assemble_group, g)
+                          for g in itertools.islice(it, 3))
+        while in_flight:
+            fut = in_flight.popleft()
+            for g in itertools.islice(it, 1):
+                in_flight.append(pool.submit(assemble_group, g))
+            pairs = fut.result()
+            previews.append([p for _, p in pairs])
+            yield np.stack([c for c, _ in pairs])
+
+    writes = []
+    count = 0
+    for gi, outputs in enumerate(engine.run_many(produce())):
+        for k, tile in enumerate(groups[gi]):
+            out_dir = os.path.join(save_path, tile)
+            writes.append(pool.submit(
+                write_png, os.path.join(out_dir, "stitched_sr.png"), outputs[k]))
+            writes.append(pool.submit(
+                write_png, os.path.join(out_dir, "stitched_s2.png"),
+                previews[gi][k]))
+            count += 1
+    for f in writes:
+        f.result()
+    pool.shutdown(wait=True)
+    print(f"Done: {count} whole tiles.")
+    return count
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True, help="Path to the options file.")
@@ -41,6 +133,9 @@ def main(argv=None):
 
     enable_compilation_cache()
     opt = yaml_load(args.opt)
+    if opt.get("whole_tile"):
+        run_whole_tile(opt)
+        return
     run_inference(opt, save_lr=False, grid_naming=True)
     stitch_tiles(opt["data_dir"], opt["save_path"])
 

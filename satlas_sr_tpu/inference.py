@@ -22,11 +22,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .parallel.mesh import data_mesh, shard_batch
+from .parallel.mesh import data_mesh, mesh_2d, mesh_axis_size, shard_batch
 
 
 class InferenceEngine:
-    """Compiles and runs the uint8-to-uint8 SR program at a fixed batch size."""
+    """Compiles and runs the uint8-to-uint8 SR program at a fixed batch size.
+
+    `spatial_shards > 1` builds a 2-D ('data', 'space') mesh and shards the
+    image-row axis too: XLA's SPMD pass partitions every conv with halo
+    exchanges over ICI — bit-exact vs single-device, and the way to run ONE
+    large tile (e.g. a whole 512x512 S2 grid) across all chips instead of
+    chunk-and-stitch (see infer_grid whole-tile mode).
+    """
 
     def __init__(
         self,
@@ -37,15 +44,19 @@ class InferenceEngine:
         n_frames: Optional[int] = None,
         matmul_precision: str = "highest",
         use_mesh: bool = True,
+        spatial_shards: int = 1,
     ):
         self.model = model
         self.batch_size = batch_size
         self.use_3d = use_3d
         self.n_frames = n_frames
-        self.mesh = data_mesh() if use_mesh else None
+        if use_mesh:
+            self.mesh = mesh_2d(spatial_shards) if spatial_shards > 1 else data_mesh()
+        else:
+            self.mesh = None
         if self.mesh is not None:
-            # Pad batch to a multiple of the mesh size for even sharding.
-            n_dev = self.mesh.devices.size
+            # Pad batch to a multiple of the data-axis size for even sharding.
+            n_dev = mesh_axis_size(self.mesh, "data", self.mesh.devices.size)
             self.batch_size = max(batch_size // n_dev, 1) * n_dev
         if getattr(model, "dtype", None) in (jnp.bfloat16, jnp.float16):
             # Inference-only: store weights in the compute dtype — halves

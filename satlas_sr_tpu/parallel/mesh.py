@@ -7,11 +7,16 @@ Replaces the reference's torch.distributed/NCCL surface (SURVEY.md §5.8):
 - master_only         -> is_main_process()
 - EnlargedSampler     -> per-process shard slicing in the data pipeline
 
-The mesh is 1-D ('data') because the reference's only parallelism is data
-parallelism (SURVEY.md §2.10); model size (~17M params) makes TP/PP
-counterproductive at these shapes. The helpers are written against arbitrary
-mesh sizes so the same code runs on 1 chip, a v5e-8 slice, or the 8-device
-virtual CPU mesh used in tests.
+The default mesh is 1-D ('data') because the reference's only parallelism is
+data parallelism (SURVEY.md §2.10); model size (~17M params) makes weight
+sharding counterproductive at these shapes. Beyond the reference, a 2-D
+('data', 'space') mesh spatially partitions the IMAGE ROW axis: every
+convolution in the fully-convolutional generator is partitioned by XLA's SPMD
+pass with halo exchanges (collective-permutes of boundary rows over ICI) —
+bit-exact vs the replicated program, and the TPU-native way to (a) scale one
+large tile across chips and (b) split activation HBM during training. The
+helpers are written against arbitrary mesh sizes so the same code runs on 1
+chip, a v5e-8 slice, or the 8-device virtual CPU mesh used in tests.
 """
 
 from __future__ import annotations
@@ -29,9 +34,37 @@ def data_mesh(devices: Optional[list] = None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def mesh_2d(spatial: int, devices: Optional[list] = None) -> Mesh:
+    """2-D ('data', 'space') mesh: batch DP x spatial partitioning of rows.
+
+    `spatial` must divide the device count; the data axis gets the rest.
+    Place the space axis innermost so halo exchanges ride nearest-neighbour
+    ICI links on a real slice.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if spatial < 1 or n % spatial:
+        raise ValueError(f"spatial={spatial} must divide the device count {n}")
+    return Mesh(np.asarray(devices).reshape(n // spatial, spatial),
+                axis_names=("data", "space"))
+
+
+def mesh_axis_size(mesh: Mesh, name: str, default: int = 1) -> int:
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return sizes.get(name, default)
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard axis 0 over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def spatial_sharding(mesh: Mesh, ndim: int, h_axis: int = 1) -> NamedSharding:
+    """Shard axis 0 over 'data' AND the image-row axis over 'space'."""
+    spec: list = [None] * ndim
+    spec[0] = "data"
+    spec[h_axis] = "space"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -50,13 +83,26 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     Arrays whose leading dim is not divisible by the local mesh share are
     replicated instead (correct, just not parallel) — keeps tiny eval batches
     working.
+
+    On a 2-D ('data', 'space') mesh (mesh_2d), image arrays additionally
+    shard their row axis (axis 1 for [B,H,W,C], axis 2 for [B,T,H,W,C]) over
+    'space' when it divides evenly — XLA's SPMD partitioner turns the convs
+    into halo-exchange programs, bit-exact vs replicated. Single-process only
+    (multi-process hosts feed batch-axis shards; rows stay whole per host).
     """
-    n_dev = mesh.devices.size
+    n_data = mesh_axis_size(mesh, "data", mesh.devices.size)
+    n_space = mesh_axis_size(mesh, "space", 1)
     n_proc = jax.process_count()
 
     def put(x):
-        if np.ndim(x) >= 1 and np.shape(x)[0] * n_proc % n_dev == 0:
-            sharding = batch_sharding(mesh, np.ndim(x))
+        if np.ndim(x) >= 1 and np.shape(x)[0] * n_proc % n_data == 0:
+            ndim = np.ndim(x)
+            h_axis = {4: 1, 5: 2}.get(ndim)
+            if (n_space > 1 and n_proc == 1 and h_axis is not None
+                    and np.shape(x)[h_axis] % n_space == 0):
+                sharding = spatial_sharding(mesh, ndim, h_axis)
+            else:
+                sharding = batch_sharding(mesh, ndim)
             if n_proc > 1:
                 global_shape = (np.shape(x)[0] * n_proc,) + tuple(np.shape(x)[1:])
                 return jax.make_array_from_process_local_data(
@@ -87,8 +133,8 @@ def shard_rows_padded(mesh: Mesh, x: np.ndarray):
     (global_array, n_real_local_rows) so callers can drop the padding.
     """
     x = np.asarray(x)
-    n_dev = mesh.devices.size
-    share = max(1, n_dev // jax.process_count())
+    n_data = mesh_axis_size(mesh, "data", mesh.devices.size)
+    share = max(1, n_data // jax.process_count())
     b = x.shape[0]
     pad = (-b) % share
     if pad:
@@ -105,6 +151,8 @@ def local_rows(arr) -> np.ndarray:
     """
     if isinstance(arr, np.ndarray):
         return arr
+    if jax.process_count() == 1:
+        return np.asarray(arr)  # fully addressable (incl. spatially sharded)
     seen = {}
     for s in arr.addressable_shards:
         start = 0 if s.index[0].start is None else int(s.index[0].start)

@@ -106,6 +106,45 @@ def format_s2naip_batch(
     return np.stack(inputs), previews
 
 
+def assemble_tile(
+    tile_dir: str, n_s2_images: int, seed: int = 0, grid_size: int = 16
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Assemble a tile's {i}_{j}.png chunk grid into ONE whole-tile input.
+
+    Whole-tile mode (beyond the reference, which only chunk-and-stitches —
+    ssr/infer_grid.py:41-66): each 32x32 chunk's frames are selected with the
+    same good-first policy as format_s2naip_data, then placed at
+    (i*32, j*32) in a [grid*32, grid*32, T*3] canvas. The generator is fully
+    convolutional, so running it once on the canvas yields a SEAMLESS SR tile
+    (chunked inference has zero-pad context at every interior chunk edge).
+
+    Returns (canvas, preview) — preview is each chunk's first frame, i.e. the
+    whole-tile analog of stitched_s2.png.
+    """
+    from .native_png import read_png_many
+
+    paths = [
+        os.path.join(tile_dir, f"{i}_{j}.png")
+        for i in range(grid_size)
+        for j in range(grid_size)
+    ]
+    try:
+        decoded = read_png_many(paths)
+    except Exception:
+        decoded = [None] * len(paths)
+    size = grid_size * 32
+    canvas = np.zeros((size, size, 3 * n_s2_images), np.uint8)
+    preview = np.zeros((size, size, 3), np.uint8)
+    for k, path in enumerate(paths):
+        arr = decoded[k] if decoded[k] is not None else read_png(path)
+        rng = np.random.RandomState(seed + k)
+        stacked, first = format_s2naip_data(arr, n_s2_images, rng)
+        i, j = divmod(k, grid_size)
+        canvas[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32] = stacked
+        preview[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32] = first
+    return canvas, preview
+
+
 def stitch(
     chunks_dir: str,
     img_size: int,
