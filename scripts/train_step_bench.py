@@ -88,6 +88,14 @@ def main():
           f"({1000 / best:.0f} ms/step)", flush=True)
     print("logs:", {k: round(v, 4) for k, v in sorted(logs.items())})
 
+    if "profile" in sys.argv[3:]:
+        out = "/tmp/train_profile"
+        with jax.profiler.trace(out):
+            for i in range(3):
+                logs = model.train_iter(batch_np, 100 + i)
+            jax.block_until_ready(logs)
+        print("xplane trace written to", out, flush=True)
+
 
 if __name__ == "__main__":
     main()
