@@ -72,33 +72,27 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
     # Host pipeline: PNG decode on a prefetching thread pool and PNG encode on
     # a writer pool (the native libpng extension releases the GIL for both),
     # so host IO overlaps device compute and the tunnel's result fetches.
-    import itertools
-    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
+
+    from .inference import BoundedWriter, prefetch_map
 
     workers = max(2, (os.cpu_count() or 1))
     decode_prefetch = int(opt.get("decode_prefetch", 3))
-    decode_pool = ThreadPoolExecutor(max_workers=workers)
+    # one worker per in-flight batch: read_png_many already parallelises
+    # WITHIN a batch on its in-extension thread pool
+    decode_pool = ThreadPoolExecutor(max_workers=decode_prefetch)
     write_pool = ThreadPoolExecutor(max_workers=workers)
-    write_futures: list = []
+    writer = BoundedWriter(write_pool, max_pending=4 * workers)
+
+    def decode(arg):
+        bi, bp = arg
+        # global-index seeding: formatting is invariant to batch size
+        return bp, format_s2naip_batch(bp, n_lr_images, seed=seed,
+                                       index_offset=bi * engine.batch_size)
 
     def produce():
-        it = iter(enumerate(batches))
-        in_flight: deque = deque()
-
-        def submit(bi, bp):
-            # global-index seeding: formatting is invariant to batch size
-            return decode_pool.submit(
-                format_s2naip_batch, bp, n_lr_images, seed=seed,
-                index_offset=bi * engine.batch_size)
-
-        for bi, bp in itertools.islice(it, decode_prefetch):
-            in_flight.append((bp, submit(bi, bp)))
-        while in_flight:
-            bp, fut = in_flight.popleft()
-            for bi2, bp2 in itertools.islice(it, 1):
-                in_flight.append((bp2, submit(bi2, bp2)))
-            inputs, previews = fut.result()
+        for bp, (inputs, previews) in prefetch_map(
+                decode_pool, decode, enumerate(batches), decode_prefetch):
             meta.append((bp, previews))
             yield inputs
 
@@ -109,18 +103,17 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
                 if grid_naming:
                     # Preserve {tile}/{i}_{j}.png for stitching (ssr/infer_grid.py:49-53).
                     tile, idx = path.split("/")[-2], path.split("/")[-1]
-                    write_futures.append(write_pool.submit(
-                        write_png, os.path.join(save_path, tile, idx), outputs[k]))
+                    writer.submit(write_png, os.path.join(save_path, tile, idx),
+                                  outputs[k])
                 else:
                     out_dir = os.path.join(save_path, str(count))
                     if save_lr:
-                        write_futures.append(write_pool.submit(
-                            write_png, os.path.join(out_dir, "lr.png"), previews[k]))
-                    write_futures.append(write_pool.submit(
-                        write_png, os.path.join(out_dir, "sr.png"), outputs[k]))
+                        writer.submit(write_png, os.path.join(out_dir, "lr.png"),
+                                      previews[k])
+                    writer.submit(write_png, os.path.join(out_dir, "sr.png"),
+                                  outputs[k])
                 count += 1
-        for f in write_futures:
-            f.result()  # surface any write error
+        writer.drain()  # surface any write error
     finally:
         decode_pool.shutdown(wait=True)
         write_pool.shutdown(wait=True)

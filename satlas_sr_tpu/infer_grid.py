@@ -53,10 +53,11 @@ def run_whole_tile(opt: dict) -> int:
     seed = int(opt.get("manual_seed", 0) or 0)
     grid_size = int(opt.get("grid_size", 16))
     spatial = int(opt.get("spatial_shards", 0))
-    if spatial <= 0:  # default: all local devices, largest power-of-2 fit
+    if spatial <= 0:  # default: largest power-of-2 dividing devices AND rows
         n = jax.local_device_count()
         spatial = 1
-        while spatial * 2 <= n and (grid_size * 32) % (spatial * 2) == 0:
+        while (spatial * 2 <= n and n % (spatial * 2) == 0
+               and (grid_size * 32) % (spatial * 2) == 0):
             spatial *= 2
 
     model = build_network(opt)
@@ -82,44 +83,42 @@ def run_whole_tile(opt: dict) -> int:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from .inference import batched
+    from .inference import BoundedWriter, batched, prefetch_map
+
+    # frame selection must match chunked mode exactly: the chunked path seeds
+    # each chunk's RNG by its GLOBAL index in the sorted recursive glob
+    # (run_inference), so build the same index here
+    import glob as _glob
+
+    all_pngs = sorted(_glob.glob(os.path.join(data_dir, "**", "*.png"),
+                                 recursive=True))
+    index_map = {p: i for i, p in enumerate(all_pngs)}
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 1))
+    writer = BoundedWriter(pool, max_pending=8)
     groups = batched(tiles, engine.batch_size)
     previews: list = []
 
     def assemble_group(g):
         return [assemble_tile(os.path.join(data_dir, t), n_lr_images,
-                              seed, grid_size) for t in g]
+                              seed, grid_size, index_map=index_map) for t in g]
 
     def produce():
-        import itertools
-        from collections import deque
-
-        it = iter(groups)
-        in_flight = deque(pool.submit(assemble_group, g)
-                          for g in itertools.islice(it, 3))
-        while in_flight:
-            fut = in_flight.popleft()
-            for g in itertools.islice(it, 1):
-                in_flight.append(pool.submit(assemble_group, g))
-            pairs = fut.result()
+        for pairs in prefetch_map(pool, assemble_group, groups, depth=3):
             previews.append([p for _, p in pairs])
             yield np.stack([c for c, _ in pairs])
 
-    writes = []
     count = 0
     for gi, outputs in enumerate(engine.run_many(produce())):
         for k, tile in enumerate(groups[gi]):
             out_dir = os.path.join(save_path, tile)
-            writes.append(pool.submit(
-                write_png, os.path.join(out_dir, "stitched_sr.png"), outputs[k]))
-            writes.append(pool.submit(
-                write_png, os.path.join(out_dir, "stitched_s2.png"),
-                previews[gi][k]))
+            writer.submit(write_png,
+                          os.path.join(out_dir, "stitched_sr.png"), outputs[k])
+            writer.submit(write_png,
+                          os.path.join(out_dir, "stitched_s2.png"),
+                          previews[gi][k])
             count += 1
-    for f in writes:
-        f.result()
+    writer.drain()
     pool.shutdown(wait=True)
     print(f"Done: {count} whole tiles.")
     return count

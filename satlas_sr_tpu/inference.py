@@ -136,3 +136,46 @@ class InferenceEngine:
 
 def batched(items: Sequence, batch_size: int) -> List[Sequence]:
     return [items[i : i + batch_size] for i in range(0, len(items), batch_size)]
+
+
+def prefetch_map(pool, fn, items: Iterable, depth: int = 3):
+    """Map `fn` over `items` on `pool`, keeping up to `depth` tasks in flight.
+
+    The host-pipeline idiom shared by the infer CLIs: results come back in
+    order while later items decode/format concurrently with the consumer.
+    """
+    import itertools
+    from collections import deque
+
+    it = iter(items)
+    in_flight = deque(pool.submit(fn, x) for x in itertools.islice(it, depth))
+    while in_flight:
+        fut = in_flight.popleft()
+        for x in itertools.islice(it, 1):
+            in_flight.append(pool.submit(fn, x))
+        yield fut.result()
+
+
+class BoundedWriter:
+    """Async writes with backpressure: at most `max_pending` in flight.
+
+    An unbounded writer queue holds every pending image in RAM when storage
+    is slower than the device; blocking on the oldest write caps memory at
+    max_pending images and surfaces write errors near where they happen.
+    """
+
+    def __init__(self, pool, max_pending: int = 32):
+        from collections import deque
+
+        self._pool = pool
+        self._max = max(1, max_pending)
+        self._pending: Any = deque()
+
+    def submit(self, fn, *args) -> None:
+        if len(self._pending) >= self._max:
+            self._pending.popleft().result()
+        self._pending.append(self._pool.submit(fn, *args))
+
+    def drain(self) -> None:
+        while self._pending:
+            self._pending.popleft().result()

@@ -205,15 +205,16 @@ def _import_clip_rn(state, spec: ResNetSpec) -> Optional[Dict]:
     if "visual.conv1.weight" not in state or "visual.attnpool.q_proj.weight" not in state:
         return None
     get = lambda k: _np(state[k]) if k in state else None
+    req = lambda k: _strict(state, k)
 
     def conv_bn(conv_key, bn_key):
         w = get(f"{conv_key}.weight")
         if w is None:
             return None
-        gamma = get(f"{bn_key}.weight")
-        beta = get(f"{bn_key}.bias")
-        mean = get(f"{bn_key}.running_mean")
-        var = get(f"{bn_key}.running_var")
+        gamma = req(f"{bn_key}.weight")
+        beta = req(f"{bn_key}.bias")
+        mean = req(f"{bn_key}.running_mean")
+        var = req(f"{bn_key}.running_var")
         scale = gamma / np.sqrt(var + 1e-5)
         return {
             "kernel": np.transpose(w, (2, 3, 1, 0)),
@@ -241,15 +242,17 @@ def _import_clip_rn(state, spec: ResNetSpec) -> Optional[Dict]:
             stage.append(blk)
             bi += 1
         if bi != spec.layers[si]:
-            return None
+            raise TowerImportError(
+                f"CLIP RN stage {si + 1} has {bi} blocks, spec expects "
+                f"{spec.layers[si]} — wrong model spec for this checkpoint")
         layers.append(stage)
 
     def lin(k):
-        return {"kernel": get(f"visual.attnpool.{k}.weight").T,
-                "bias": get(f"visual.attnpool.{k}.bias")}
+        return {"kernel": req(f"visual.attnpool.{k}.weight").T,
+                "bias": req(f"visual.attnpool.{k}.bias")}
 
     pool = {
-        "pos": get("visual.attnpool.positional_embedding"),
+        "pos": req("visual.attnpool.positional_embedding"),
         "q": lin("q_proj"),
         "k": lin("k_proj"),
         "v": lin("v_proj"),
@@ -317,10 +320,29 @@ def _np(t):
     return t.float().numpy()
 
 
+class TowerImportError(ValueError):
+    """A weights file matched a known naming family but lacks required keys.
+
+    Raised instead of crashing mid-import (None.T AttributeErrors) or silently
+    falling back to the random tower: a user-supplied real checkpoint must
+    never degrade to meaningless metric numbers without a loud signal.
+    """
+
+
+def _strict(state, key):
+    if key not in state:
+        raise TowerImportError(
+            f"tower state dict missing {key!r}: naming family detected but the "
+            "layout is unsupported (wrong model spec, or a tower variant this "
+            "importer does not map)")
+    return _np(state[key])
+
+
 def _import_openai_clip(state, spec: ViTSpec) -> Optional[Dict]:
     """OpenAI/open_clip CLIP ViT visual tower: cls token, ln_pre, quick_gelu,
     ln_post on the cls token, then @ proj (CLIP VisionTransformer.forward)."""
     get = lambda k: _np(state[k]) if k in state else None
+    req = lambda k: _strict(state, k)
     conv = get("visual.conv1.weight")  # [W, 3, P, P], bias-free in CLIP
     if conv is None:
         return None
@@ -328,11 +350,11 @@ def _import_openai_clip(state, spec: ViTSpec) -> Optional[Dict]:
     params: Dict = {
         "patch": {"kernel": np.transpose(conv, (2, 3, 1, 0)),
                   "bias": np.zeros((w,), np.float32)},
-        "cls": get("visual.class_embedding"),
-        "pos": get("visual.positional_embedding"),  # [(n+1), W], row 0 = cls
+        "cls": req("visual.class_embedding"),
+        "pos": req("visual.positional_embedding"),  # [(n+1), W], row 0 = cls
         "blocks": [],
-        "ln_final": {"scale": get("visual.ln_post.weight"),
-                     "bias": get("visual.ln_post.bias")},
+        "ln_final": {"scale": req("visual.ln_post.weight"),
+                     "bias": req("visual.ln_post.bias")},
     }
     if "visual.ln_pre.weight" in state:
         params["ln_pre"] = {"scale": get("visual.ln_pre.weight"),
@@ -340,19 +362,21 @@ def _import_openai_clip(state, spec: ViTSpec) -> Optional[Dict]:
     for i in range(spec.layers):
         base = f"visual.transformer.resblocks.{i}"
         if f"{base}.ln_1.weight" not in state:
-            return None
+            raise TowerImportError(
+                f"CLIP ViT is missing block {i} of the {spec.layers} the model "
+                "spec expects — wrong model spec for this checkpoint")
         params["blocks"].append(
             {
-                "ln1": {"scale": get(f"{base}.ln_1.weight"), "bias": get(f"{base}.ln_1.bias")},
-                "qkv": {"kernel": get(f"{base}.attn.in_proj_weight").T,
-                        "bias": get(f"{base}.attn.in_proj_bias")},
-                "proj": {"kernel": get(f"{base}.attn.out_proj.weight").T,
-                         "bias": get(f"{base}.attn.out_proj.bias")},
-                "ln2": {"scale": get(f"{base}.ln_2.weight"), "bias": get(f"{base}.ln_2.bias")},
-                "fc1": {"kernel": get(f"{base}.mlp.c_fc.weight").T,
-                        "bias": get(f"{base}.mlp.c_fc.bias")},
-                "fc2": {"kernel": get(f"{base}.mlp.c_proj.weight").T,
-                        "bias": get(f"{base}.mlp.c_proj.bias")},
+                "ln1": {"scale": req(f"{base}.ln_1.weight"), "bias": req(f"{base}.ln_1.bias")},
+                "qkv": {"kernel": req(f"{base}.attn.in_proj_weight").T,
+                        "bias": req(f"{base}.attn.in_proj_bias")},
+                "proj": {"kernel": req(f"{base}.attn.out_proj.weight").T,
+                         "bias": req(f"{base}.attn.out_proj.bias")},
+                "ln2": {"scale": req(f"{base}.ln_2.weight"), "bias": req(f"{base}.ln_2.bias")},
+                "fc1": {"kernel": req(f"{base}.mlp.c_fc.weight").T,
+                        "bias": req(f"{base}.mlp.c_fc.bias")},
+                "fc2": {"kernel": req(f"{base}.mlp.c_proj.weight").T,
+                        "bias": req(f"{base}.mlp.c_proj.bias")},
             }
         )
     proj = get("visual.proj")  # [W, E]
@@ -368,51 +392,52 @@ def _import_timm_vit(state, spec: ViTSpec, prefix: str) -> Optional[Dict]:
     """timm VisionTransformer (open_clip SigLIP towers live under
     `visual.trunk.`): fused qkv, exact gelu, final norm, MAP attention pool."""
     get = lambda k: _np(state[prefix + k]) if prefix + k in state else None
+    req = lambda k: _strict(state, prefix + k)
     conv = get("patch_embed.proj.weight")  # [W, 3, P, P]
     if conv is None:
         return None
     w = conv.shape[0]
     bias = get("patch_embed.proj.bias")
-    pos = get("pos_embed")
+    pos = req("pos_embed")
     params: Dict = {
         "patch": {"kernel": np.transpose(conv, (2, 3, 1, 0)),
                   "bias": bias if bias is not None else np.zeros((w,), np.float32)},
-        "pos": pos.reshape(-1, w) if pos is not None else None,
+        "pos": pos.reshape(-1, w),
         "blocks": [],
-        "ln_final": {"scale": get("norm.weight"), "bias": get("norm.bias")},
+        "ln_final": {"scale": req("norm.weight"), "bias": req("norm.bias")},
     }
-    if params["pos"] is None:
-        return None
     for i in range(spec.layers):
         base = f"blocks.{i}"
         if prefix + f"{base}.norm1.weight" not in state:
-            return None
+            raise TowerImportError(
+                f"timm ViT is missing block {i} of the {spec.layers} the model "
+                "spec expects — wrong model spec for this checkpoint")
         params["blocks"].append(
             {
-                "ln1": {"scale": get(f"{base}.norm1.weight"), "bias": get(f"{base}.norm1.bias")},
-                "qkv": {"kernel": get(f"{base}.attn.qkv.weight").T,
-                        "bias": get(f"{base}.attn.qkv.bias")},
-                "proj": {"kernel": get(f"{base}.attn.proj.weight").T,
-                         "bias": get(f"{base}.attn.proj.bias")},
-                "ln2": {"scale": get(f"{base}.norm2.weight"), "bias": get(f"{base}.norm2.bias")},
-                "fc1": {"kernel": get(f"{base}.mlp.fc1.weight").T,
-                        "bias": get(f"{base}.mlp.fc1.bias")},
-                "fc2": {"kernel": get(f"{base}.mlp.fc2.weight").T,
-                        "bias": get(f"{base}.mlp.fc2.bias")},
+                "ln1": {"scale": req(f"{base}.norm1.weight"), "bias": req(f"{base}.norm1.bias")},
+                "qkv": {"kernel": req(f"{base}.attn.qkv.weight").T,
+                        "bias": req(f"{base}.attn.qkv.bias")},
+                "proj": {"kernel": req(f"{base}.attn.proj.weight").T,
+                         "bias": req(f"{base}.attn.proj.bias")},
+                "ln2": {"scale": req(f"{base}.norm2.weight"), "bias": req(f"{base}.norm2.bias")},
+                "fc1": {"kernel": req(f"{base}.mlp.fc1.weight").T,
+                        "bias": req(f"{base}.mlp.fc1.bias")},
+                "fc2": {"kernel": req(f"{base}.mlp.fc2.weight").T,
+                        "bias": req(f"{base}.mlp.fc2.bias")},
             }
         )
     if prefix + "attn_pool.latent" in state:
         params["attn_pool"] = {
-            "latent": get("attn_pool.latent").reshape(-1),
-            "q": {"kernel": get("attn_pool.q.weight").T, "bias": get("attn_pool.q.bias")},
-            "kv": {"kernel": get("attn_pool.kv.weight").T, "bias": get("attn_pool.kv.bias")},
-            "proj": {"kernel": get("attn_pool.proj.weight").T,
-                     "bias": get("attn_pool.proj.bias")},
-            "norm": {"scale": get("attn_pool.norm.weight"), "bias": get("attn_pool.norm.bias")},
-            "fc1": {"kernel": get("attn_pool.mlp.fc1.weight").T,
-                    "bias": get("attn_pool.mlp.fc1.bias")},
-            "fc2": {"kernel": get("attn_pool.mlp.fc2.weight").T,
-                    "bias": get("attn_pool.mlp.fc2.bias")},
+            "latent": req("attn_pool.latent").reshape(-1),
+            "q": {"kernel": req("attn_pool.q.weight").T, "bias": req("attn_pool.q.bias")},
+            "kv": {"kernel": req("attn_pool.kv.weight").T, "bias": req("attn_pool.kv.bias")},
+            "proj": {"kernel": req("attn_pool.proj.weight").T,
+                     "bias": req("attn_pool.proj.bias")},
+            "norm": {"scale": req("attn_pool.norm.weight"), "bias": req("attn_pool.norm.bias")},
+            "fc1": {"kernel": req("attn_pool.mlp.fc1.weight").T,
+                    "bias": req("attn_pool.mlp.fc1.bias")},
+            "fc2": {"kernel": req("attn_pool.mlp.fc2.weight").T,
+                    "bias": req("attn_pool.mlp.fc2.bias")},
         }
     else:
         params["head"] = {"kernel": np.eye(w, spec.embed_dim, dtype=np.float32),

@@ -241,6 +241,8 @@ class BaseModel:
             self.metric_results = {m: 0.0 for m in metrics2run}
 
         count = 0
+        metric_ok: Dict[str, int] = {}
+        metric_fail: Dict[str, int] = {}
         for batch in loader:
             sr_uint8 = self.eval_outputs(batch)  # [B, H, W, 3] uint8
             gt = batch.get("hr")
@@ -284,9 +286,20 @@ class BaseModel:
                             continue  # already accumulated on device
                         try:
                             self.metric_results[name] += calculate_metric(data, m_opt)
+                            metric_ok[name] = metric_ok.get(name, 0) + 1
                         except Exception as e:  # metric tower unavailable etc.
+                            metric_fail[name] = metric_fail.get(name, 0) + 1
                             self.logger.warning(f"metric {name} failed: {e}")
                 count += 1
+
+        # a metric that failed for EVERY sample (e.g. a tower whose weights
+        # refuse to import) must not surface as a plausible-looking 0.0 average
+        for name in list(self.metric_results):
+            if metric_fail.get(name) and not metric_ok.get(name):
+                self.logger.error(
+                    f"metric {name} failed on all samples "
+                    f"({metric_fail[name]} errors) — dropped from results")
+                del self.metric_results[name]
 
         if metrics2run and jax.process_count() > 1:
             # sum per-process accumulators (+ count) before averaging — the

@@ -170,7 +170,7 @@ def sum_across_processes(vec: np.ndarray) -> np.ndarray:
         return np.asarray(vec)
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(np.asarray(vec, np.float32))
+    gathered = multihost_utils.process_allgather(np.asarray(vec, np.float64))
     return np.asarray(gathered).sum(axis=0)
 
 

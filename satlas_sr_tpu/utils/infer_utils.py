@@ -107,7 +107,8 @@ def format_s2naip_batch(
 
 
 def assemble_tile(
-    tile_dir: str, n_s2_images: int, seed: int = 0, grid_size: int = 16
+    tile_dir: str, n_s2_images: int, seed: int = 0, grid_size: int = 16,
+    index_map: dict | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Assemble a tile's {i}_{j}.png chunk grid into ONE whole-tile input.
 
@@ -120,6 +121,10 @@ def assemble_tile(
 
     Returns (canvas, preview) — preview is each chunk's first frame, i.e. the
     whole-tile analog of stitched_s2.png.
+
+    `index_map` (path -> global corpus index) makes frame selection match the
+    chunked CLI exactly, which seeds each chunk's RNG by its position in the
+    sorted recursive glob; without it the RNG is seeded by the in-tile index.
     """
     from .native_png import read_png_many
 
@@ -137,7 +142,8 @@ def assemble_tile(
     preview = np.zeros((size, size, 3), np.uint8)
     for k, path in enumerate(paths):
         arr = decoded[k] if decoded[k] is not None else read_png(path)
-        rng = np.random.RandomState(seed + k)
+        idx = index_map[path] if index_map is not None else k
+        rng = np.random.RandomState(seed + idx)
         stacked, first = format_s2naip_data(arr, n_s2_images, rng)
         i, j = divmod(k, grid_size)
         canvas[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32] = stacked

@@ -472,3 +472,38 @@ def test_rn50_encoder_builds_from_checkpoint_file(tmp_path, rng):
     assert pretrained
     out = encode(jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32)))
     assert out.shape == (1, 16) and np.isfinite(np.asarray(out)).all()
+
+
+# -- near-matching state dicts must raise, not crash or silently randomize --------
+
+
+def test_near_matching_tower_raises_import_error(tmp_path, rng):
+    """A checkpoint whose naming family is detected but whose layout doesn't
+    map (e.g. an EVA-style attn split, or fewer blocks than the spec) must
+    raise TowerImportError — not AttributeError mid-import, and not silently
+    fall back to the random tower (VERDICT r2 code-review finding #2)."""
+    from satlas_sr_tpu.metrics.clip_encoder import (
+        MODEL_SPECS,
+        TowerImportError,
+        load_vit_from_torch,
+    )
+
+    spec = MODEL_SPECS["test-tiny-openai"]
+
+    # family detected (visual.conv1 present) but blocks renamed EVA-style
+    state = _openai_state(rng)
+    for k in list(state):
+        if ".attn.in_proj_weight" in k or ".attn.in_proj_bias" in k:
+            state[k.replace("in_proj_weight", "q_proj.weight")
+                   .replace("in_proj_bias", "q_proj.bias")] = state.pop(k)
+    path = str(tmp_path / "eva_like.pth")
+    torch.save(state, path)
+    with pytest.raises(TowerImportError):
+        load_vit_from_torch(path, spec)
+
+    # fewer transformer blocks than the model spec expects
+    state2 = _openai_state(rng, layers=1)
+    path2 = str(tmp_path / "short.pth")
+    torch.save(state2, path2)
+    with pytest.raises(TowerImportError):
+        load_vit_from_torch(path2, spec)
