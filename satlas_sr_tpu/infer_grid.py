@@ -60,10 +60,18 @@ def run_whole_tile(opt: dict) -> int:
                and (grid_size * 32) % (spatial * 2) == 0):
             spatial *= 2
 
+    use_3d = opt["network_g"]["type"] in ("SRCNN", "HighResNet")
+    if use_3d:
+        # the config's output_size targets ONE 32x32 chunk; the whole tile
+        # scales it by grid_size (the bilinear head is size-parametric)
+        g_opt = dict(opt["network_g"])
+        g_opt["output_size"] = grid_size * 32 * int(opt["scale"])
+        opt = {**opt, "network_g": g_opt}
     model = build_network(opt)
-    variables = load_infer_variables(opt, model, n_lr_images, use_3d=False)
+    variables = load_infer_variables(opt, model, n_lr_images, use_3d=use_3d)
     engine = InferenceEngine(
         model, variables, batch_size=int(opt.get("batch_size", 1)),
+        use_3d=use_3d, n_frames=n_lr_images,
         matmul_precision=str(opt.get("matmul_precision", "highest")),
         spatial_shards=spatial,
     )

@@ -159,6 +159,60 @@ def test_whole_tile_infer_grid_seamless(tmp_path):
     assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
 
 
+def test_whole_tile_use_3d_srcnn(tmp_path):
+    """whole_tile also serves the 5-D (use_3d) model families: SRCNN's fixed
+    output_size head is rescaled to the whole tile, and the output equals one
+    direct forward over the assembled canvas."""
+    from satlas_sr_tpu.infer_grid import run_whole_tile
+    from satlas_sr_tpu.utils.imgio import read_png
+    from satlas_sr_tpu.utils.infer_utils import assemble_tile
+
+    grid = 2  # 64x64 canvas -> 256x256 SR
+    data_dir = tmp_path / "grid"
+    tile_dir = data_dir / "0_0_tile"
+    tile_dir.mkdir(parents=True)
+    _write_tile(str(tile_dir), grid, n_frames=2, rng=np.random.RandomState(3))
+
+    net = {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+           "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+           "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+           "zoom_factor": 4, "sr_kernel_size": 1}
+    opt = {
+        "data_dir": str(data_dir),
+        "save_path": str(tmp_path / "out"),
+        "scale": 4,
+        "n_lr_images": 2,
+        "manual_seed": 0,
+        "grid_size": grid,
+        "whole_tile": True,
+        "batch_size": 1,
+        "network_g": net,
+        "path": {},
+    }
+    assert run_whole_tile(opt) == 1
+    sr = read_png(str(tmp_path / "out" / "0_0_tile" / "stitched_sr.png"))
+    assert sr.shape == (grid * 32 * 4, grid * 32 * 4, 3)
+
+    # oracle: direct 5-D forward over the canvas with the rescaled head
+    from satlas_sr_tpu.infer import load_infer_variables
+    from satlas_sr_tpu.utils.model_utils import build_network
+
+    canvas, _ = assemble_tile(str(tile_dir), 2, seed=0, grid_size=grid,
+                              index_map={p: i for i, p in enumerate(sorted(
+                                  str(f) for f in tile_dir.iterdir()))})
+    opt2 = {**opt, "network_g": {**net, "output_size": grid * 32 * 4}}
+    model = build_network(opt2)
+    variables = load_infer_variables(opt2, model, 2, use_3d=True)
+    h, w, tc = canvas.shape
+    x5 = canvas.reshape(h, w, 2, 3).transpose(2, 0, 1, 3)[None]
+    with jax.default_matmul_precision("highest"):
+        y = model.apply(variables, x5.astype(np.float32) / 255.0)
+    oracle = np.asarray(
+        jnp.clip(y[0, 0].astype(jnp.float32), 0, 1) * 255.0).astype(np.uint8)
+    diff = np.abs(sr.astype(int) - oracle.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+
 def test_train_step_dp_sp_matches_pure_dp():
     """ONE full GAN training step on a (4,2) dp x sp mesh reproduces the pure
     8-way DP losses — the dryrun's sharding is semantics-preserving."""
