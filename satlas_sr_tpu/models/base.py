@@ -25,7 +25,13 @@ import numpy as np
 import optax
 
 from ..metrics import calculate_metric
-from ..parallel.mesh import data_mesh, is_main_process, replicate_tree, shard_batch
+from ..parallel.mesh import (
+    data_mesh,
+    is_main_process,
+    mesh_2d,
+    replicate_tree,
+    shard_batch,
+)
 from ..utils.checkpoint import load_network_variables, load_pytree, save_pytree
 from ..utils.imgio import write_png
 from ..utils.logger import get_root_logger
@@ -73,7 +79,12 @@ class BaseModel:
     def __init__(self, opt: Dict[str, Any]):
         self.opt = opt
         self.logger = get_root_logger()
-        self.mesh = data_mesh()
+        # spatial_shards > 1 builds a ('data','space') mesh: batches shard on
+        # axis 0 AND image rows shard over 'space' (XLA SPMD halo-exchange
+        # convs, bit-exact) — splits the step's activation HBM across chips
+        # when per-chip batch can't shrink further. Default: pure DP.
+        sp = int(opt.get("spatial_shards", 1) or 1)
+        self.mesh = mesh_2d(sp) if sp > 1 else data_mesh()
         self.state: Dict[str, Any] = {}
         self.best_metric_results: Dict[str, Dict] = {}
         self.metric_results: Dict[str, float] = {}

@@ -213,6 +213,44 @@ def test_whole_tile_use_3d_srcnn(tmp_path):
     assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
 
 
+def test_spatial_shards_config_key_trains_and_evals():
+    """`spatial_shards: 2` in the YAML builds the ('data','space') mesh for
+    the trainer — one L2/SRCNN step (5-D inputs, rows on axis 2) and a sharded
+    eval forward both run on the dp x sp mesh."""
+    from satlas_sr_tpu.models import build_model
+
+    opt = {
+        "name": "sp_l2", "model_type": "L2Model", "scale": 4, "num_gpu": 8,
+        "manual_seed": 0, "is_train": True, "spatial_shards": 2,
+        "datasets": {"train": {"n_s2_images": 2, "use_3d": True}},
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1,
+                      "output_size": 128, "zoom_factor": 4,
+                      "sr_kernel_size": 1},
+        "path": {},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [1000],
+                          "gamma": 0.5},
+            "total_iter": 2, "warmup_iter": -1,
+        },
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 10_000},
+    }
+    model = build_model(opt)
+    assert dict(zip(model.mesh.axis_names, model.mesh.devices.shape)) == {
+        "data": 4, "space": 2}
+    rng = np.random.RandomState(0)
+    batch = {
+        "lr": (rng.rand(8, 2, 32, 32, 3) * 255).astype(np.uint8),
+        "hr": (rng.rand(8, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    assert all(np.isfinite(float(v)) for v in logs.values()), logs
+    out = model.eval_outputs({"lr": batch["lr"]})
+    assert out.shape == (8, 128, 128, 3) and out.dtype == np.uint8
+
+
 def test_train_step_dp_sp_matches_pure_dp():
     """ONE full GAN training step on a (4,2) dp x sp mesh reproduces the pure
     8-way DP losses — the dryrun's sharding is semantics-preserving."""
