@@ -209,7 +209,9 @@ def main():
     log("devices:", devices)
     on_accel = devices[0].platform != "cpu"
 
-    batch = int(os.environ.get("BENCH_BATCH", "128" if on_accel else "8"))
+    # batch 256 is the measured throughput optimum on v5e (BENCH_NOTES.md
+    # round-2 sweep: 256 > 128 > 512)
+    batch = int(os.environ.get("BENCH_BATCH", "256" if on_accel else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10" if on_accel else "2"))
 
     forward = build_forward("bfloat16", "default")
