@@ -59,7 +59,13 @@ def _resize_nearest_np(img: np.ndarray, out_hw) -> np.ndarray:
 
 @DATASET_REGISTRY.register("S2NAIPDataset")
 class S2NAIPDataset:
-    """Map-style dataset yielding dict samples (numpy uint8, HWC)."""
+    """Map-style dataset yielding dict samples (numpy uint8, HWC).
+
+    Also registered under the alias ``SSRDataset`` (below): three reference
+    configs (allbands_*/old-naip_*/rand_crop_*) declare that type, which is
+    registered nowhere in the reference and crashes there (SURVEY.md §5.6);
+    here those configs run verbatim.
+    """
 
     def __init__(self, opt: Dict[str, Any]):
         self.opt = opt
@@ -254,3 +260,9 @@ class S2NAIPDataset:
 
     def __len__(self) -> int:
         return self.data_len
+
+
+# Alias: the reference's allbands_*/old-naip_*/rand_crop_* configs declare
+# `type: SSRDataset`, a name its registry never defines — those configs crash
+# in the reference. Accept them here (SURVEY.md §5.6 known-bug list).
+DATASET_REGISTRY.register("SSRDataset")(S2NAIPDataset)

@@ -4,8 +4,13 @@ Replicates the behaviour of the USM sharpener the reference applies to ground
 truth in feed_data (ssr/models/ssr_esrgan_model.py:31,109): a 51x51 Gaussian
 blur (OpenCV kernel with sigma derived from the kernel size), residual
 thresholding into a soft mask, and a weighted sharpen blended by the blurred
-mask. Runs as two separable 1-D convolutions per blur — VPU-friendly and fused
-by XLA into the surrounding step.
+mask.
+
+Each separable 1-D blur is applied as a dense banded [n, n] matrix multiply
+(reflect padding folded into the matrix) instead of a degenerate C=1
+convolution — the same MXU trick as ops/resize.resize_bilinear. At the GT
+shapes this runs on the systolic array at trivial cost, where the conv
+formulation lowered to low-intensity single-channel convolutions.
 """
 
 from __future__ import annotations
@@ -28,30 +33,40 @@ def _gaussian_kernel_1d(ksize: int) -> np.ndarray:
     return k.astype(np.float32)
 
 
-def _blur_separable(img: jax.Array, kernel_1d: jax.Array) -> jax.Array:
-    """Depthwise separable Gaussian blur of NHWC with reflect padding."""
-    k = kernel_1d.shape[0]
-    pad = (k - 1) // 2
+@functools.lru_cache(maxsize=16)
+def _blur_matrix(ksize: int, n: int) -> np.ndarray:
+    """Dense [n, n] matrix applying the 1-D Gaussian with reflect padding.
+
+    out[i] = sum_t k[t] * x[reflect(i + t - pad)] — the reflect fold (np.pad
+    'reflect' / OpenCV BORDER_REFLECT_101 semantics, no edge repeat) is baked
+    into the matrix so the blur is one exact matmul per axis.
+    """
+    if n > 1 and (ksize - 1) // 2 >= n:
+        raise ValueError(f"reflect pad {(ksize - 1) // 2} needs input > pad (got {n})")
+    k = _gaussian_kernel_1d(ksize).astype(np.float64)
+    pad = (ksize - 1) // 2
+    m = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for t in range(ksize):
+            p = i + t - pad
+            if p < 0:
+                p = -p
+            elif p >= n:
+                p = 2 * (n - 1) - p
+            m[i, p] += k[t]
+    return m.astype(np.float32)
+
+
+def _blur_separable(img: jax.Array, ksize: int) -> jax.Array:
+    """Separable Gaussian blur of NHWC with reflect padding, via two matmuls."""
     dtype = img.dtype
     x = img.astype(jnp.float32)
-    n, h, w, c = x.shape
-    # Rows: pad H, contract a sliding window via conv on a merged NC batch.
-    xr = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="reflect")
-    xr = jnp.moveaxis(xr, 3, 1).reshape(n * c, h + 2 * pad, w, 1)
-    kr = kernel_1d.reshape(k, 1, 1, 1)
-    xr = jax.lax.conv_general_dilated(
-        xr, kr, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    # Cols.
-    xr = jnp.pad(xr, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
-    kc = kernel_1d.reshape(1, k, 1, 1)
-    xr = jax.lax.conv_general_dilated(
-        xr, kc, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    out = jnp.moveaxis(xr.reshape(n, c, h, w), 1, 3)
-    return out.astype(dtype)
+    _, h, w, _ = x.shape
+    mh = jnp.asarray(_blur_matrix(ksize, h))
+    x = jnp.einsum("ij,njwc->niwc", mh, x, precision=jax.lax.Precision.HIGHEST)
+    mw = jnp.asarray(_blur_matrix(ksize, w))
+    x = jnp.einsum("ij,nhjc->nhic", mw, x, precision=jax.lax.Precision.HIGHEST)
+    return x.astype(dtype)
 
 
 def usm_sharp(
@@ -66,10 +81,9 @@ def usm_sharp(
     thresholded on the 0-255 scale and then blurred into a soft mask.
     """
     ksize = radius + 1 if radius % 2 == 0 else radius
-    kernel = jnp.asarray(_gaussian_kernel_1d(ksize))
-    blur = _blur_separable(img, kernel)
+    blur = _blur_separable(img, ksize)
     residual = img - blur
     mask = (jnp.abs(residual) * 255.0 > threshold).astype(img.dtype)
-    soft_mask = _blur_separable(mask, kernel)
+    soft_mask = _blur_separable(mask, ksize)
     sharp = jnp.clip(img + weight * residual, 0.0, 1.0)
     return soft_mask * sharp + (1.0 - soft_mask) * img

@@ -15,6 +15,7 @@ the data mesh; log/checkpoint/validation cadence runs on host, rank-0 only.
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Optional
 
@@ -124,9 +125,32 @@ def train_pipeline(root_path: str, argv=None) -> None:
     )
     profiling = False
 
+    # Preemption-safe shutdown: managed TPU VMs deliver SIGTERM ahead of
+    # eviction. The handler only sets a flag; the loop boundary saves a full
+    # training state and returns cleanly so --auto_resume continues from it.
+    # (The reference has no preemption story — a killed DDP rank loses
+    # everything since the last save_checkpoint_freq snapshot.)
+    stop_signals: list = []
+    prev_sigterm = None
+    try:
+        prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda signum, frame: stop_signals.append(signum)
+        )
+    except ValueError:  # not the main thread (in-process harness)
+        prev_sigterm = None
+
+    preempted = False
     train_iter_stream = iter(train_loader)
     try:
         while current_iter < total_iters:
+            if stop_signals:
+                logger.warning(
+                    f"Signal {stop_signals[0]} received: saving preemption "
+                    f"state at iter {current_iter} and exiting cleanly."
+                )
+                model.save(epoch, current_iter)
+                preempted = True
+                break
             batch = next(train_iter_stream, None)
             if batch is None:  # finite sampler exhausted; restart an epoch
                 train_iter_stream = iter(train_loader)
@@ -175,6 +199,11 @@ def train_pipeline(root_path: str, argv=None) -> None:
             iter_timer.start()
     finally:
         train_loader.stop()
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+
+    if preempted:
+        return
 
     logger.info("End of training. Saving the latest model.")
     model.save(epoch=-1, current_iter=-1)

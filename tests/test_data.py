@@ -222,3 +222,18 @@ def test_loader_salt_resamples_frames(tmp_path, rng):
     c = ds.sample(0, salt=0)["lr"]
     np.testing.assert_array_equal(a, c)  # same salt -> identical
     assert not np.array_equal(a, b)  # different salt -> resampled (8C2 space)
+
+
+def test_ssrdataset_alias_accepts_reference_configs(tmp_path, rng):
+    """The reference's allbands_*/old-naip_*/rand_crop_* configs declare
+    `type: SSRDataset` — a name its registry never defines, so they crash
+    there (SURVEY.md §5.6). Here the alias builds the S2NAIP dataset."""
+    from satlas_sr_tpu.data import build_dataset
+
+    s2, naip = _make_tree(tmp_path, rng)
+    ds = build_dataset({
+        "type": "SSRDataset", "sentinel2_path": s2, "naip_path": naip,
+        "n_s2_images": 2, "phase": "train",
+    })
+    assert isinstance(ds, S2NAIPDataset)
+    assert ds[0]["lr"].shape == (32, 32, 6)

@@ -380,3 +380,63 @@ def test_train_cli_with_tile_weights(tmp_path, rng):
     train_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
     exp = tmp_path / "experiments" / "cli_tw"
     assert (exp / "metrics.jsonl").exists()
+
+
+def test_train_cli_preemption_sigterm(tmp_path, rng):
+    """SIGTERM mid-run saves a training state and exits cleanly; --auto_resume
+    continues from it. (Preemption-safe shutdown for managed TPU VMs — the
+    reference has no equivalent: a killed run loses everything since the last
+    save_checkpoint_freq snapshot.)"""
+    import json
+    import signal as signal_mod
+    import threading
+    import time as time_mod
+
+    from satlas_sr_tpu.train import train_pipeline
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["name"] = "cli_preempt"
+    opt["train"]["total_iter"] = 100000
+    del opt["train"]["perceptual_opt"]
+    opt["datasets"]["train"]["batch_size_per_gpu"] = 1
+    opt["path"] = {"resume_state": None}
+    # periodic checkpointing never fires: only the signal handler saves
+    opt["logger"]["save_checkpoint_freq"] = 100000
+    opt.pop("is_train", None)
+    opt.pop("rank", None); opt.pop("world_size", None); opt.pop("seed_with_rank", None)
+    opt["val"] = None
+
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+
+    exp = tmp_path / "experiments" / "cli_preempt"
+    metrics = exp / "metrics.jsonl"
+
+    def fire_when_training():
+        # wait for the first logged iter so the signal lands mid-loop
+        deadline = time_mod.time() + 300
+        while time_mod.time() < deadline:
+            if metrics.exists() and metrics.read_text().strip():
+                break
+            time_mod.sleep(0.2)
+        os.kill(os.getpid(), signal_mod.SIGTERM)
+
+    watcher = threading.Thread(target=fire_when_training, daemon=True)
+    watcher.start()
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
+    watcher.join(timeout=10)
+
+    states = list((exp / "training_states").glob("*.state"))
+    assert states, "preemption save produced no training state"
+    saved_iter = max(int(p.stem) for p in states)
+    assert saved_iter >= 1
+
+    # auto-resume continues from the preemption state for one more iter
+    opt["train"]["total_iter"] = saved_iter + 1
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path), "--auto_resume"])
+    lines = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert any(l["iter"] == saved_iter + 1 for l in lines)
