@@ -46,7 +46,15 @@ def load_infer_variables(opt: dict, model, n_lr_images: int, use_3d: bool):
     return model.init(jax.random.PRNGKey(0), example)
 
 
-def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) -> int:
+def shard_contiguous(n_items: int, rank: int, world: int) -> range:
+    """Balanced contiguous [start, stop) range for this process."""
+    base, extra = divmod(n_items, world)
+    start = rank * base + min(rank, extra)
+    return range(start, start + base + (1 if rank < extra else 0))
+
+
+def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
+                  rank: int = 0, world: int = 1) -> int:
     data_dir = opt["data_dir"]
     n_lr_images = int(opt["n_lr_images"])
     save_path = opt["save_path"]
@@ -62,9 +70,31 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
     )
 
     pngs = sorted(glob.glob(os.path.join(data_dir, "**", "*.png"), recursive=True))
-    print(f"Running inference on {len(pngs)} images.")
+    total = len(pngs)
+    # Multi-process: each process takes a contiguous shard of the sorted
+    # corpus (grid mode shards whole tiles so every tile's chunks — and its
+    # stitch — stay on one process). Contiguity keeps the global-index frame
+    # seeding a scalar offset, so outputs are bit-identical to a 1-process
+    # run regardless of process count.
+    global_start = 0
+    if world > 1:
+        if grid_naming:
+            tiles = sorted({os.path.dirname(p) for p in pngs})
+            mine = set(tiles[i] for i in shard_contiguous(len(tiles), rank, world))
+            idx = [i for i, p in enumerate(pngs) if os.path.dirname(p) in mine]
+            if idx and idx != list(range(idx[0], idx[0] + len(idx))):
+                raise AssertionError(
+                    "tile shards must be contiguous in the sorted corpus"
+                )
+        else:
+            idx = list(shard_contiguous(total, rank, world))
+        global_start = idx[0] if idx else 0
+        pngs = [pngs[i] for i in idx]
+        print(f"Process {rank}/{world}: inference on {len(pngs)} of {total} images.")
+    else:
+        print(f"Running inference on {len(pngs)} images.")
     t0 = time.time()
-    count = 0
+    count = global_start  # output dirs are numbered by GLOBAL corpus index
     batches = batched(pngs, engine.batch_size)
     seed = opt.get("manual_seed", 0) or 0
     meta: list = []  # (paths, previews) per batch, in flight order
@@ -88,7 +118,7 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
         bi, bp = arg
         # global-index seeding: formatting is invariant to batch size
         return bp, format_s2naip_batch(bp, n_lr_images, seed=seed,
-                                       index_offset=bi * engine.batch_size)
+                                       index_offset=global_start + bi * engine.batch_size)
 
     def produce():
         for bp, (inputs, previews) in prefetch_map(
@@ -118,20 +148,27 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False) ->
         decode_pool.shutdown(wait=True)
         write_pool.shutdown(wait=True)
     dt = time.time() - t0
-    if count:
-        print(f"Done: {count} images in {dt:.2f}s ({count / dt:.1f} img/s)")
-    return count
+    done = count - global_start
+    if done:
+        print(f"Done: {done} images in {dt:.2f}s ({done / dt:.1f} img/s)")
+    return done
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True, help="Path to the options file.")
+    parser.add_argument("--launcher", choices=["none", "jax", "pytorch", "slurm"],
+                        default="none", help="'jax' shards the corpus across "
+                        "jax.distributed processes (one contiguous block each).")
     args = parser.parse_args(argv)
     from .utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from .utils.options import init_distributed
+
+    rank, world = init_distributed(args.launcher)
     opt = yaml_load(args.opt)
-    run_inference(opt)
+    run_inference(opt, rank=rank, world=world)
 
 
 if __name__ == "__main__":

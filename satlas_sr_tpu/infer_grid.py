@@ -31,11 +31,17 @@ from .utils.model_utils import build_network
 from .utils.options import yaml_load
 
 
-def stitch_tiles(data_dir: str, save_path: str) -> None:
-    for tile in sorted(os.listdir(data_dir)):
+def stitch_tiles(data_dir: str, save_path: str, rank: int = 0, world: int = 1) -> None:
+    tiles = [t for t in sorted(os.listdir(data_dir))
+             if os.path.isdir(os.path.join(data_dir, t))]
+    if world > 1:
+        # same contiguous tile shard as run_inference(grid_naming=True): each
+        # process stitches exactly the tiles whose chunks it super-resolved
+        from .infer import shard_contiguous
+
+        tiles = [tiles[i] for i in shard_contiguous(len(tiles), rank, world)]
+    for tile in tiles:
         tile_dir = os.path.join(data_dir, tile)
-        if not os.path.isdir(tile_dir):
-            continue
         print("Stitching images for tile", tile)
         if len(os.listdir(tile_dir)) < 256:
             print(f"Tile {tile} contains less than 256 chunks, cannot stitch. Skipping.")
@@ -45,7 +51,7 @@ def stitch_tiles(data_dir: str, save_path: str) -> None:
         stitch(tile_dir, 512, os.path.join(save_path, tile, "stitched_s2.png"), sentinel2=True)
 
 
-def run_whole_tile(opt: dict) -> int:
+def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
     """One generator pass per WHOLE tile, spatially sharded over the mesh."""
     data_dir = opt["data_dir"]
     save_path = opt["save_path"]
@@ -86,8 +92,17 @@ def run_whole_tile(opt: dict) -> int:
                   "chunks, cannot super-resolve whole. Skipping.")
             continue
         tiles.append(tile)
-    print(f"Whole-tile inference on {len(tiles)} tiles "
-          f"(spatial_shards={spatial}, batch={engine.batch_size}).")
+    if world > 1:
+        from .infer import shard_contiguous
+
+        n_total = len(tiles)
+        tiles = [tiles[i] for i in shard_contiguous(n_total, rank, world)]
+        print(f"Process {rank}/{world}: whole-tile inference on {len(tiles)} "
+              f"of {n_total} tiles (spatial_shards={spatial}, "
+              f"batch={engine.batch_size}).")
+    else:
+        print(f"Whole-tile inference on {len(tiles)} tiles "
+              f"(spatial_shards={spatial}, batch={engine.batch_size}).")
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -135,16 +150,22 @@ def run_whole_tile(opt: dict) -> int:
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True, help="Path to the options file.")
+    parser.add_argument("--launcher", choices=["none", "jax", "pytorch", "slurm"],
+                        default="none", help="'jax' shards tiles across "
+                        "jax.distributed processes (contiguous blocks).")
     args = parser.parse_args(argv)
     from .utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from .utils.options import init_distributed
+
+    rank, world = init_distributed(args.launcher)
     opt = yaml_load(args.opt)
     if opt.get("whole_tile"):
-        run_whole_tile(opt)
+        run_whole_tile(opt, rank=rank, world=world)
         return
-    run_inference(opt, save_lr=False, grid_naming=True)
-    stitch_tiles(opt["data_dir"], opt["save_path"])
+    run_inference(opt, save_lr=False, grid_naming=True, rank=rank, world=world)
+    stitch_tiles(opt["data_dir"], opt["save_path"], rank=rank, world=world)
 
 
 if __name__ == "__main__":

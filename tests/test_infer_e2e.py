@@ -237,3 +237,69 @@ def test_infer_multibatch_ordering_matches_per_image(tmp_path, rng):
         want = engine.run(inputs[i:i + 1])[0]
         got = read_png(str(tmp_path / "out" / str(i) / "sr.png"))
         assert np.array_equal(got, want), f"output {i} mismatched its input"
+
+
+def test_infer_multiprocess_sharding_bitexact(tmp_path, rng):
+    """(rank, world) shards the corpus into contiguous blocks: the 2-process
+    union equals the 1-process outputs bit-for-bit (global-index frame
+    seeding + global output numbering are process-count invariant)."""
+    from satlas_sr_tpu.infer import run_inference
+
+    data_dir = tmp_path / "data"
+    for i in range(5):
+        _write_s2_png(str(data_dir / f"chip{i}" / "tci.png"), rng, n_frames=4)
+
+    ref = tmp_path / "ref"
+    opt = _opt(tmp_path, data_dir, ref)
+    opt["batch_size"] = 2
+    assert run_inference(opt) == 5
+
+    out = tmp_path / "sharded"
+    opt2 = dict(opt, save_path=str(out))
+    n0 = run_inference(opt2, rank=0, world=2)
+    n1 = run_inference(opt2, rank=1, world=2)
+    assert (n0, n1) == (3, 2)
+    for i in range(5):
+        np.testing.assert_array_equal(
+            read_png(str(ref / str(i) / "sr.png")),
+            read_png(str(out / str(i) / "sr.png")),
+        )
+        np.testing.assert_array_equal(
+            read_png(str(ref / str(i) / "lr.png")),
+            read_png(str(out / str(i) / "lr.png")),
+        )
+
+
+def test_infer_grid_multiprocess_tile_sharding(tmp_path, rng):
+    """Grid mode shards WHOLE tiles across processes (a tile's chunks and its
+    stitch stay together); sharded outputs equal the single-process run."""
+    from satlas_sr_tpu.infer import run_inference
+    from satlas_sr_tpu.infer_grid import stitch_tiles
+
+    for tile in ("tile_1_1", "tile_2_2"):
+        tile_dir = tmp_path / "s2" / tile
+        os.makedirs(tile_dir)
+        for i in range(16):
+            for j in range(16):
+                _write_s2_png(tile_dir / f"{i}_{j}.png", rng, n_frames=N_FRAMES)
+
+    ref = tmp_path / "ref"
+    opt = _opt(tmp_path, tmp_path / "s2", ref)
+    opt["batch_size"] = 64
+    assert run_inference(opt, save_lr=False, grid_naming=True) == 512
+    stitch_tiles(str(tmp_path / "s2"), str(ref))
+
+    out = tmp_path / "sharded"
+    opt2 = dict(opt, save_path=str(out))
+    counts = []
+    for rank in (0, 1):
+        counts.append(
+            run_inference(opt2, save_lr=False, grid_naming=True, rank=rank, world=2)
+        )
+        stitch_tiles(str(tmp_path / "s2"), str(out), rank=rank, world=2)
+    assert counts == [256, 256]  # one whole tile per process
+    for tile in ("tile_1_1", "tile_2_2"):
+        np.testing.assert_array_equal(
+            read_png(str(ref / tile / "stitched_sr.png")),
+            read_png(str(out / tile / "stitched_sr.png")),
+        )
