@@ -59,7 +59,9 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
     n_lr_images = int(opt["n_lr_images"])
     save_path = opt["save_path"]
     batch_size = int(opt.get("batch_size", 64))
-    use_3d = opt["network_g"]["type"] in ("SRCNN", "HighResNet")
+    from .utils.model_utils import uses_3d_input
+
+    use_3d = uses_3d_input(opt["network_g"]["type"])
 
     model = build_network(opt)
     variables = load_infer_variables(opt, model, n_lr_images, use_3d)

@@ -32,16 +32,20 @@ from .utils.options import yaml_load
 
 
 def stitch_tiles(data_dir: str, save_path: str, rank: int = 0, world: int = 1) -> None:
-    tiles = [t for t in sorted(os.listdir(data_dir))
-             if os.path.isdir(os.path.join(data_dir, t))]
+    import glob as _glob
+
+    # Derive tiles exactly like run_inference(grid_naming=True) does — from
+    # the dirnames of the recursive png glob — so the multi-process tile
+    # shards line up: each process stitches precisely the tiles whose chunks
+    # it super-resolved (a png-less subdirectory must not shift the split).
+    pngs = _glob.glob(os.path.join(data_dir, "**", "*.png"), recursive=True)
+    tile_dirs = sorted({os.path.dirname(p) for p in pngs})
     if world > 1:
-        # same contiguous tile shard as run_inference(grid_naming=True): each
-        # process stitches exactly the tiles whose chunks it super-resolved
         from .infer import shard_contiguous
 
-        tiles = [tiles[i] for i in shard_contiguous(len(tiles), rank, world)]
-    for tile in tiles:
-        tile_dir = os.path.join(data_dir, tile)
+        tile_dirs = [tile_dirs[i] for i in shard_contiguous(len(tile_dirs), rank, world)]
+    for tile_dir in tile_dirs:
+        tile = os.path.basename(tile_dir)
         print("Stitching images for tile", tile)
         if len(os.listdir(tile_dir)) < 256:
             print(f"Tile {tile} contains less than 256 chunks, cannot stitch. Skipping.")
@@ -51,22 +55,32 @@ def stitch_tiles(data_dir: str, save_path: str, rank: int = 0, world: int = 1) -
         stitch(tile_dir, 512, os.path.join(save_path, tile, "stitched_s2.png"), sentinel2=True)
 
 
+def default_spatial_shards(rows: int) -> int:
+    """Largest power of 2 dividing both the local device count and `rows` —
+    the whole-tile default when `spatial_shards` is unset. Shared with the
+    warmup CLI so the pre-compiled program matches the real launch."""
+    n = jax.local_device_count()
+    spatial = 1
+    while (spatial * 2 <= n and n % (spatial * 2) == 0
+           and rows % (spatial * 2) == 0):
+        spatial *= 2
+    return spatial
+
+
 def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
     """One generator pass per WHOLE tile, spatially sharded over the mesh."""
+    from .utils.model_utils import uses_3d_input
+
     data_dir = opt["data_dir"]
     save_path = opt["save_path"]
     n_lr_images = int(opt["n_lr_images"])
     seed = int(opt.get("manual_seed", 0) or 0)
     grid_size = int(opt.get("grid_size", 16))
     spatial = int(opt.get("spatial_shards", 0))
-    if spatial <= 0:  # default: largest power-of-2 dividing devices AND rows
-        n = jax.local_device_count()
-        spatial = 1
-        while (spatial * 2 <= n and n % (spatial * 2) == 0
-               and (grid_size * 32) % (spatial * 2) == 0):
-            spatial *= 2
+    if spatial <= 0:
+        spatial = default_spatial_shards(grid_size * 32)
 
-    use_3d = opt["network_g"]["type"] in ("SRCNN", "HighResNet")
+    use_3d = uses_3d_input(opt["network_g"]["type"])
     if use_3d:
         # the config's output_size targets ONE 32x32 chunk; the whole tile
         # scales it by grid_size (the bilinear head is size-parametric)

@@ -39,20 +39,18 @@ def _blur_matrix(ksize: int, n: int) -> np.ndarray:
 
     out[i] = sum_t k[t] * x[reflect(i + t - pad)] — the reflect fold (np.pad
     'reflect' / OpenCV BORDER_REFLECT_101 semantics, no edge repeat) is baked
-    into the matrix so the blur is one exact matmul per axis.
+    into the matrix so the blur is one exact matmul per axis. Pads wider than
+    the input fold repeatedly (period 2(n-1)), matching np.pad.
     """
-    if n > 1 and (ksize - 1) // 2 >= n:
-        raise ValueError(f"reflect pad {(ksize - 1) // 2} needs input > pad (got {n})")
     k = _gaussian_kernel_1d(ksize).astype(np.float64)
     pad = (ksize - 1) // 2
     m = np.zeros((n, n), dtype=np.float64)
+    period = 2 * (n - 1) if n > 1 else 1
     for i in range(n):
         for t in range(ksize):
-            p = i + t - pad
-            if p < 0:
-                p = -p
-            elif p >= n:
-                p = 2 * (n - 1) - p
+            p = abs(i + t - pad) % period if n > 1 else 0
+            if p >= n:
+                p = period - p
             m[i, p] += k[t]
     return m.astype(np.float32)
 

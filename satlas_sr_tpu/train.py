@@ -139,13 +139,30 @@ def train_pipeline(root_path: str, argv=None) -> None:
     except ValueError:  # not the main thread (in-process harness)
         prev_sigterm = None
 
+    world_size = int(opt.get("world_size", 1) or 1)
+
+    def stop_requested() -> bool:
+        """Collective stop decision. With >1 process the local flag is summed
+        across processes every iteration so ALL ranks leave the (collective)
+        train step at the same iteration: a rank stopping alone would strand
+        the others in the step's cross-process collectives, and the signal
+        may land on a rank other than the one that saves (rank 0)."""
+        if world_size <= 1:
+            return bool(stop_signals)
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(_np.int32(bool(stop_signals)))
+        return bool(_np.asarray(flags).sum())
+
     preempted = False
     train_iter_stream = iter(train_loader)
     try:
         while current_iter < total_iters:
-            if stop_signals:
+            if stop_requested():
+                local = stop_signals[0] if stop_signals else "peer rank"
                 logger.warning(
-                    f"Signal {stop_signals[0]} received: saving preemption "
+                    f"Stop signal ({local}) received: saving preemption "
                     f"state at iter {current_iter} and exiting cleanly."
                 )
                 model.save(epoch, current_iter)

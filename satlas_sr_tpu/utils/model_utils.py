@@ -20,6 +20,12 @@ def compute_dtype(opt: Dict[str, Any]):
     return _DTYPES[str(opt.get("compute_dtype", "float32"))]
 
 
+def uses_3d_input(network_type: str) -> bool:
+    """True for the model families taking [B, T, H, W, C] revisit stacks
+    (the reference's `use_3d` datasets — SRCNN/HighResNet)."""
+    return network_type in ("SRCNN", "HighResNet")
+
+
 def build_network(opt: Dict[str, Any]):
     """Build the generator for an infer config (returns the linen module)."""
     scale = int(opt["scale"])

@@ -32,7 +32,9 @@ def _synth_batch(ds_opt: dict, scale: int, rows: int, with_old: bool) -> dict:
     """Random batch shaped exactly like S2NAIPDataset output for this config."""
     t = int(ds_opt.get("n_s2_images", 8))
     bands = ds_opt.get("s2_bands") or ["tci"]
-    c = 3 * len(bands)
+    # per-frame channels: tci is RGB, every other band is single-channel
+    # (data/s2naip.py _load_bands; same derivation as ESRGANModel num_in_ch)
+    c = 3 + (len(bands) - 1)
     rng = np.random.RandomState(0)
     if ds_opt.get("use_3d"):
         lr = (rng.rand(rows, t, 32, 32, c) * 255).astype(np.uint8)
@@ -80,14 +82,13 @@ def warmup_train(opt: dict) -> None:
 
 
 def warmup_infer(opt: dict) -> None:
-    import jax
-
     from .infer import load_infer_variables
     from .inference import InferenceEngine
-    from .utils.model_utils import build_network
+    from .infer_grid import default_spatial_shards
+    from .utils.model_utils import build_network, uses_3d_input
 
     n_lr_images = int(opt["n_lr_images"])
-    use_3d = opt["network_g"]["type"] in ("SRCNN", "HighResNet")
+    use_3d = uses_3d_input(opt["network_g"]["type"])
     whole = bool(opt.get("whole_tile"))
     grid_size = int(opt.get("grid_size", 16))
     size = grid_size * 32 if whole else 32
@@ -95,13 +96,7 @@ def warmup_infer(opt: dict) -> None:
 
     spatial = int(opt.get("spatial_shards", 0))
     if whole and spatial <= 0:
-        # mirror infer_grid.run_whole_tile's default exactly so the cached
-        # program matches the real launch
-        n = jax.local_device_count()
-        spatial = 1
-        while (spatial * 2 <= n and n % (spatial * 2) == 0
-               and size % (spatial * 2) == 0):
-            spatial *= 2
+        spatial = default_spatial_shards(size)
 
     if whole and use_3d:
         g_opt = dict(opt["network_g"])
@@ -117,20 +112,23 @@ def warmup_infer(opt: dict) -> None:
         matmul_precision=str(opt.get("matmul_precision", "highest")),
         spatial_shards=max(spatial, 1),
     )
+    # the engine rounds batch_size to the device count; feed ITS batch shape,
+    # not the raw config value, or the real launch misses the cache
+    rows = engine.batch_size
     if use_3d:
-        x = np.zeros((batch_size, n_lr_images, size, size, 3), np.uint8)
+        x = np.zeros((rows, n_lr_images, size, size, 3), np.uint8)
     else:
-        x = np.zeros((batch_size, size, size, n_lr_images * 3), np.uint8)
+        x = np.zeros((rows, size, size, n_lr_images * 3), np.uint8)
     engine.run(x)
     mode = "whole-tile" if whole else "chunked"
-    print(f"[warmup] {mode} inference (batch {batch_size}, {size}x{size}): "
+    print(f"[warmup] {mode} inference (batch {rows}, {size}x{size}): "
           f"compiled+ran in {time.time() - t0:.1f}s")
 
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True, help="Path to the options file.")
-    args, _ = parser.parse_known_args(argv)
+    args, extra = parser.parse_known_args(argv)
 
     from .utils.jax_cache import enable_compilation_cache
 
@@ -141,13 +139,20 @@ def main(argv=None) -> None:
     raw = yaml_load(args.opt)
     if raw.get("model_type"):
         # full option parsing (dir layout, seeds, dist) without touching disk
-        # beyond the cache: warmup never creates experiment dirs
+        # beyond the cache: warmup never creates experiment dirs. Extra args
+        # (--force_yml/--debug/...) forward so shape-changing overrides warm
+        # the SAME program the real launch will run.
         from .utils.options import parse_options
 
         root_path = os.getcwd()
-        opt, _ = parse_options(root_path, is_train=True, argv=["-opt", args.opt])
+        opt, _ = parse_options(root_path, is_train=True,
+                               argv=["-opt", args.opt, *extra])
         warmup_train(opt)
     else:
+        if extra:
+            raise SystemExit(
+                f"warmup: unrecognised arguments for an infer config: {extra}"
+            )
         warmup_infer(raw)
     print("[warmup] compilation cache populated.")
 

@@ -208,3 +208,91 @@ def test_two_process_sharded_validation(tmp_path):
     psnrs = [float(r.split("psnr=")[1]) for r in results.values()]
     assert abs(psnrs[0] - psnrs[1]) < 1e-9, results
     assert abs(psnrs[0] - expected) < 1e-3, (psnrs, expected)
+
+
+_PREEMPT_WORKER = r"""
+import os, signal, sys, threading, time
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]; work = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+sys.path.insert(0, os.environ["SSR_REPO"])
+from satlas_sr_tpu.train import train_pipeline
+
+metrics = os.path.join(work, "experiments", "mp_preempt", "metrics.jsonl")
+
+def fire():
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            if os.path.getsize(metrics) > 0:
+                break
+        except OSError:
+            pass
+        time.sleep(0.2)
+    if pid == 1:  # signal lands ONLY on the non-saving rank
+        os.kill(os.getpid(), signal.SIGTERM)
+
+threading.Thread(target=fire, daemon=True).start()
+train_pipeline(work, argv=["-opt", os.path.join(work, "opt.yml"), "--launcher", "jax"])
+print(f"DONE {pid}", flush=True)
+"""
+
+
+def test_two_process_preemption_agreement(tmp_path):
+    """SIGTERM on ONE rank stops BOTH at the same iteration (the stop flag is
+    all-gathered every iter): rank 0 — which never saw the signal — writes the
+    preemption state, and neither rank deadlocks in the step collectives."""
+    import yaml
+
+    _make_val_tree(tmp_path, n=4)
+    opt = {
+        "name": "mp_preempt", "model_type": "L2Model", "scale": 4,
+        "manual_seed": 0,
+        "datasets": {
+            "train": {
+                "name": "train", "type": "S2NAIPDataset",
+                "sentinel2_path": str(tmp_path / "sentinel2"),
+                "naip_path": str(tmp_path / "naip"),
+                "n_s2_images": 2, "use_3d": True, "use_shuffle": True,
+                "batch_size_per_gpu": 1, "num_worker_per_gpu": 1,
+            },
+        },
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "path": {"resume_state": None},
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [100], "gamma": 0.5},
+                  "total_iter": 100000, "warmup_iter": -1},
+        "val": None,
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 100000},
+    }
+    with open(tmp_path / "opt.yml", "w") as f:
+        yaml.safe_dump(opt, f)
+
+    port = _free_port()
+    worker = tmp_path / "preempt_worker.py"
+    worker.write_text(_PREEMPT_WORKER)
+    env = dict(os.environ)
+    env["SSR_REPO"] = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"DONE {pid}" in out, out[-2000:]
+    states = list((tmp_path / "experiments" / "mp_preempt" / "training_states").glob("*.state"))
+    assert states, "rank 0 did not write the preemption state"
+    assert max(int(p.stem) for p in states) >= 1

@@ -54,3 +54,21 @@ def test_usm_small_radius(rng):
     ours = np.asarray(usm_sharp(jnp.asarray(img[None]), radius=7))[0]
     ref = _usm_np(img.astype(np.float64), radius=7)
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_usm_input_smaller_than_blur_window(rng):
+    """The 51-tap blur on inputs narrower than its 25-px pad must match the
+    oracle's repeated np.pad reflection (regression: the banded blur matrix
+    must fold with period 2(n-1), not assume one fold)."""
+    img = rng.rand(8, 8, 3).astype(np.float32)
+    ours = np.asarray(usm_sharp(jnp.asarray(img[None])))[0]
+    ref = _usm_np(img.astype(np.float64))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_usm_single_row_input(rng):
+    """n == 1 along an axis: the blur is the identity there (constant signal)."""
+    img = rng.rand(1, 40, 3).astype(np.float32)
+    out = np.asarray(usm_sharp(jnp.asarray(img[None])))[0]
+    assert out.shape == (1, 40, 3)
+    assert np.isfinite(out).all()

@@ -80,7 +80,9 @@ def test_warmup_infer_config(tmp_path, capsys):
 
     main(["-opt", str(opt_path)])
     out = capsys.readouterr().out
-    assert "chunked inference" in out and "batch 2" in out
+    # the ENGINE batch (config 2 rounded up to the 8-device mesh) is warmed —
+    # that is the program shape the real CLI runs
+    assert "chunked inference" in out and "batch 8" in out
 
 
 def test_warmup_whole_tile_config(tmp_path, capsys):
@@ -107,3 +109,41 @@ def test_warmup_whole_tile_config(tmp_path, capsys):
     main(["-opt", str(opt_path)])
     out = capsys.readouterr().out
     assert "whole-tile inference" in out and "64x64" in out
+
+
+def test_warmup_multiband_channels(tmp_path, capsys):
+    """Multi-band configs: per-frame channels are 3 (tci) + 1 per extra band —
+    the same derivation as the dataset loader and ESRGANModel's num_in_ch —
+    not 3 per band (regression guard)."""
+    from satlas_sr_tpu.warmup import main
+
+    opt = _train_opt(tmp_path)
+    opt["name"] = "warmup_allbands"
+    # 3 bands -> 5 channels/frame; SRCNN in_channels must match
+    for phase in ("train", "val"):
+        opt["datasets"][phase]["s2_bands"] = ["tci", "b05", "b06"]
+    opt["network_g"]["in_channels"] = 5
+
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+
+    main(["-opt", str(opt_path)])
+    out = capsys.readouterr().out
+    assert "train step" in out and "cache populated" in out
+
+
+def test_warmup_forwards_force_yml(tmp_path, capsys):
+    """--force_yml overrides reach the warmed program (a dropped override
+    would silently warm the wrong shapes)."""
+    from satlas_sr_tpu.warmup import main
+
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(_train_opt(tmp_path), f)
+
+    main(["-opt", str(opt_path),
+          "--force_yml", "datasets:train:batch_size_per_gpu=3"])
+    out = capsys.readouterr().out
+    # 3 per device x 8 virtual devices = 24 rows
+    assert "train step (24 rows)" in out
