@@ -75,6 +75,7 @@ class ESRGANModel(BaseModel):
         self.percep_gt_usm = bool(opt.get("percep_gt_usm", True))
         self.gan_gt_usm = bool(opt.get("gan_gt_usm", False))
 
+        self.accum_steps = 1  # overridden from train.accum_steps when training
         rng = jax.random.PRNGKey(int(opt.get("manual_seed", 0) or 0))
         example = jnp.zeros((1, 32, 32, self.num_in_ch), jnp.float32)
         params_g = self.net_g.init(rng, example)["params"]
@@ -127,6 +128,12 @@ class ESRGANModel(BaseModel):
             self.clip_sim = build_loss(train_opt["clip_opt"]) if train_opt.get("clip_opt") else None
             self.net_d_iters = int(train_opt.get("net_d_iters", 1))
             self.net_d_init_iters = int(train_opt.get("net_d_init_iters", 0))
+            # Beyond-reference: gradient accumulation over k micro-batches per
+            # optimizer update (one lax.scan inside the same jitted step) —
+            # e.g. accum_steps: 8 reproduces the reference recipe's 8-GPU
+            # global batch (8 x 32) on ONE chip without the measured batch-64
+            # HBM regression (BENCH_NOTES.md).
+            self.accum_steps = int(train_opt.get("accum_steps", 1) or 1)
 
             optim_g = train_opt["optim_g"]
             optim_d = train_opt["optim_d"]
@@ -214,6 +221,8 @@ class ESRGANModel(BaseModel):
         return jax.tree.map(lambda a, b: a + b, params, updates), new_opt
 
     def _build_train_step(self):
+        if self.accum_steps > 1:
+            return self._build_accum_train_step()
         net_g, net_d = self.net_g, self.net_d
         tx_g, tx_d = self.tx_g, self.tx_d
         cri_gan = self.cri_gan
@@ -308,6 +317,140 @@ class ESRGANModel(BaseModel):
 
         return jax.jit(step, donate_argnums=(0,))
 
+    def _build_accum_train_step(self):
+        """Gradient-accumulation variant: inputs are [k, b, ...] micro-batch
+        stacks (axis 1 mesh-sharded, see parallel/mesh.shard_microbatches);
+        one lax.scan per network accumulates grads over the k micro-batches
+        before a single optimizer update, so the effective batch is k*b at the
+        activation footprint of b. Per-micro-batch normalisation/USM is
+        recomputed inside each scan (cheap matmuls) instead of stashed —
+        only the k generator outputs are carried between the G and D phases.
+        Spectral-norm power iterations run sequentially through every D
+        forward, exactly as k consecutive plain steps would."""
+        net_g, net_d = self.net_g, self.net_d
+        tx_g, tx_d = self.tx_g, self.tx_d
+        cri_gan = self.cri_gan
+        ema_decay = self.ema_decay
+        net_d_iters, net_d_init_iters = self.net_d_iters, self.net_d_init_iters
+        k = self.accum_steps
+
+        def step(state, lr_u8, hr_u8, old_hr_u8):
+            current_iter = state["step"] + 1
+            g_params, g_opt = state["g"]["params"], state["g"]["opt"]
+            d_params, spectral = state["d"]["params"], state["d"]["spectral"]
+
+            xs = {"lr": lr_u8, "hr": hr_u8}
+            if old_hr_u8 is not None:
+                xs["old"] = old_hr_u8
+
+            def prep(xj):
+                return self._prep_step_inputs(xj["lr"], xj["hr"], xj.get("old"))
+
+            do_g = jnp.logical_and(
+                current_iter % net_d_iters == 0, current_iter > net_d_init_iters
+            )
+
+            def g_update(_):
+                def body(carry, xj):
+                    acc, spec = carry
+                    lr, old_hr, l1_gt, percep_gt, _, lr_resized = prep(xj)
+
+                    def loss_fn(p):
+                        out = net_g.apply({"params": p}, lr)
+                        total, logs = self._g_content_losses(out, l1_gt, percep_gt)
+                        disc_in = self._disc_input(out, lr_resized, old_hr)
+                        fake_pred, mut = net_d.apply(
+                            {"params": d_params, "spectral": spec},
+                            disc_in, update_stats=True, mutable=["spectral"],
+                        )
+                        l_gan = cri_gan(fake_pred, True, is_disc=False)
+                        total += l_gan
+                        logs["l_g_gan"] = l_gan
+                        total, logs = self._g_clip_loss(out, l1_gt, total, logs)
+                        return total, (logs, out, mut["spectral"])
+
+                    grads, (logs, out, new_spec) = jax.grad(loss_fn, has_aux=True)(g_params)
+                    acc = jax.tree.map(jnp.add, acc, grads)
+                    return (acc, new_spec), (out, logs)
+
+                zero = jax.tree.map(jnp.zeros_like, g_params)
+                (acc, spec1), (outs, logs) = jax.lax.scan(body, (zero, spectral), xs)
+                grads = jax.tree.map(lambda a: a / k, acc)
+                new_params, new_opt = self._apply_opt(tx_g, grads, g_opt, g_params)
+                mean_logs = {kk: jnp.mean(v) for kk, v in logs.items()}
+                return new_params, new_opt, outs, spec1, mean_logs
+
+            def g_skip(_):
+                def body(carry, xj):
+                    out = net_g.apply(
+                        {"params": g_params}, xj["lr"].astype(jnp.float32) / 255.0
+                    )
+                    return carry, out
+
+                _, outs = jax.lax.scan(body, 0, xs)
+                zero_logs = {kk: jnp.zeros((), jnp.float32) for kk in self._g_log_keys()}
+                return g_params, g_opt, outs, spectral, zero_logs
+
+            if net_d_iters == 1 and net_d_init_iters == 0:
+                new_g_params, new_g_opt, outputs, spectral1, g_logs = g_update(None)
+            else:
+                new_g_params, new_g_opt, outputs, spectral1, g_logs = jax.lax.cond(
+                    do_g, g_update, g_skip, operand=None
+                )
+
+            def d_body(carry, inp):
+                acc, spec = carry
+                xj, fake_j = inp
+                _, old_hr, _, _, gan_gt, lr_resized = prep(xj)
+                real_in = self._disc_input(gan_gt, lr_resized, old_hr)
+                fake_in = self._disc_input(
+                    jax.lax.stop_gradient(fake_j), lr_resized, old_hr
+                )
+
+                def d_loss_fn(p):
+                    real_pred, mut1 = net_d.apply(
+                        {"params": p, "spectral": spec}, real_in,
+                        update_stats=True, mutable=["spectral"],
+                    )
+                    l_d_real = cri_gan(real_pred, True, is_disc=True)
+                    fake_pred, mut2 = net_d.apply(
+                        {"params": p, "spectral": mut1["spectral"]}, fake_in,
+                        update_stats=True, mutable=["spectral"],
+                    )
+                    l_d_fake = cri_gan(fake_pred, False, is_disc=True)
+                    logs = {
+                        "l_d_real": l_d_real,
+                        "l_d_fake": l_d_fake,
+                        "out_d_real": jnp.mean(real_pred),
+                        "out_d_fake": jnp.mean(fake_pred),
+                    }
+                    return l_d_real + l_d_fake, (logs, mut2["spectral"])
+
+                grads, (logs, new_spec) = jax.grad(d_loss_fn, has_aux=True)(d_params)
+                acc = jax.tree.map(jnp.add, acc, grads)
+                return (acc, new_spec), logs
+
+            zero_d = jax.tree.map(jnp.zeros_like, d_params)
+            (acc_d, new_spectral), d_logs = jax.lax.scan(
+                d_body, (zero_d, spectral1), (xs, outputs)
+            )
+            d_grads = jax.tree.map(lambda a: a / k, acc_d)
+            new_d_params, new_d_opt = self._apply_opt(
+                tx_d, d_grads, state["d"]["opt"], d_params
+            )
+
+            new_state = {
+                "step": current_iter,
+                "g": {"params": new_g_params, "opt": new_g_opt},
+                "d": {"params": new_d_params, "spectral": new_spectral, "opt": new_d_opt},
+            }
+            if "ema" in state:
+                new_state["ema"] = ema_update(state["ema"], new_g_params, ema_decay)
+            d_mean = {kk: jnp.mean(v) for kk, v in d_logs.items()}
+            return new_state, {**g_logs, **d_mean}
+
+        return jax.jit(step, donate_argnums=(0,))
+
     def _g_log_keys(self):
         """Exactly the keys g_update logs — both lax.cond branches must match."""
         keys = []
@@ -339,10 +482,31 @@ class ESRGANModel(BaseModel):
 
     # ----------------------------------------------------------------- driver
 
+    def _shard_train_array(self, x):
+        """Host rows -> device array: [b] batch-sharded, or — with gradient
+        accumulation — [k, b] micro-batch stacks sharded on the batch axis."""
+        if self.accum_steps > 1:
+            from ..parallel.mesh import shard_microbatches
+
+            x = np.asarray(x)
+            k = self.accum_steps
+            if x.shape[0] % k:
+                raise ValueError(
+                    f"train batch of {x.shape[0]} rows is not divisible by "
+                    f"accum_steps={k}"
+                )
+            return shard_microbatches(
+                self.mesh, x.reshape((k, x.shape[0] // k) + x.shape[1:])
+            )
+        return self.shard(x)
+
     def train_iter(self, batch: Dict[str, Any], current_iter: int) -> Dict[str, float]:
-        lr = self.shard(batch["lr"])
-        hr = self.shard(batch["hr"])
-        old_hr = self.shard(batch["old_hr"]) if self.has_old_hr and "old_hr" in batch else None
+        lr = self._shard_train_array(batch["lr"])
+        hr = self._shard_train_array(batch["hr"])
+        old_hr = (
+            self._shard_train_array(batch["old_hr"])
+            if self.has_old_hr and "old_hr" in batch else None
+        )
         self.state, logs = self._train_step(self.state, lr, hr, old_hr)
         self.log_dict = logs  # device scalars; floated lazily at print_freq
         return logs

@@ -27,6 +27,12 @@ from .base import BaseModel, build_optimizer, to_uint8
 class L2Model(BaseModel):
     def __init__(self, opt: Dict[str, Any]):
         super().__init__(opt)
+        if int((opt.get("train") or {}).get("accum_steps", 1) or 1) > 1:
+            # train.py scales the loader batch by accum_steps; accepting the
+            # key here would silently train at a larger batch instead of
+            # accumulating.
+            raise ValueError("train.accum_steps is only supported by the "
+                             "ESRGAN trainer (models/esrgan.py)")
         net_opt = dict(opt["network_g"])
         # YAML blocks carry `revisits`; constructor parity handled by build_arch.
         self.net_g = build_arch(net_opt)

@@ -46,6 +46,11 @@ class OSMObjESRGANModel(ESRGANModel):
         return (jnp.zeros((1, 32, 32, 3), jnp.float32),)
 
     def _build_train_step(self):
+        if getattr(self, "accum_steps", 1) > 1:
+            raise ValueError(
+                "train.accum_steps is not supported for OSMObjESRGANModel "
+                "(the per-micro-batch object-box gathers are host-side)"
+            )
         net_g, net_d = self.net_g, self.net_d
         tx_g, tx_d = self.tx_g, self.tx_d
         cri_gan = self.cri_gan

@@ -114,6 +114,41 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(put, batch)
 
 
+def shard_microbatches(mesh: Mesh, batch: Any) -> Any:
+    """shard_batch for [k, b, ...] micro-batch stacks (gradient accumulation).
+
+    Axis 0 is the accumulation axis the jitted step lax.scans over (replicated
+    — every device sees every micro-step); axis 1 is the batch axis, sharded
+    over 'data' exactly like shard_batch's axis 0. Image rows additionally
+    shard over 'space' on a 2-D mesh (axes shift by one vs shard_batch).
+    """
+    n_data = mesh_axis_size(mesh, "data", mesh.devices.size)
+    n_space = mesh_axis_size(mesh, "space", 1)
+    n_proc = jax.process_count()
+
+    def put(x):
+        if np.ndim(x) >= 2 and np.shape(x)[1] * n_proc % n_data == 0:
+            ndim = np.ndim(x)
+            h_axis = {5: 2, 6: 3}.get(ndim)
+            spec: list = [None] * ndim
+            spec[1] = "data"
+            if (n_space > 1 and n_proc == 1 and h_axis is not None
+                    and np.shape(x)[h_axis] % n_space == 0):
+                spec[h_axis] = "space"
+            sharding = NamedSharding(mesh, P(*spec))
+            if n_proc > 1:
+                global_shape = (
+                    np.shape(x)[0], np.shape(x)[1] * n_proc,
+                ) + tuple(np.shape(x)[2:])
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x), global_shape
+                )
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)
+
+
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -78,8 +78,18 @@ def train_pipeline(root_path: str, argv=None) -> None:
     # datasets / loaders
     train_ds_opt = opt["datasets"]["train"]
     train_set = build_dataset(train_ds_opt)
+    # Gradient accumulation: each iteration consumes accum_steps micro-batches,
+    # so the loader yields k*b rows (the model splits them into a [k, b] stack).
+    accum = int((opt.get("train") or {}).get("accum_steps", 1) or 1)
+    loader_ds_opt = train_ds_opt
+    if accum > 1:
+        loader_ds_opt = {
+            **train_ds_opt,
+            "batch_size_per_gpu":
+                int(train_ds_opt.get("batch_size_per_gpu", 16)) * accum,
+        }
     train_loader = build_train_loader(
-        train_set, train_ds_opt, seed=opt["seed_with_rank"],
+        train_set, loader_ds_opt, seed=opt["seed_with_rank"],
         rank=opt["rank"], world_size=opt["world_size"],
     )
     val_loaders = []
@@ -95,7 +105,10 @@ def train_pipeline(root_path: str, argv=None) -> None:
     import jax
 
     total_iters = int(opt["train"]["total_iter"])
-    batch_per_step = int(train_ds_opt.get("batch_size_per_gpu", 16)) * jax.local_device_count()
+    batch_per_step = (
+        int(train_ds_opt.get("batch_size_per_gpu", 16)) * accum
+        * jax.local_device_count()
+    )
     iters_per_epoch = max(len(train_set) // max(batch_per_step, 1), 1)
 
     model = build_model(opt)

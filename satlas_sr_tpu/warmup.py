@@ -63,7 +63,8 @@ def warmup_train(opt: dict) -> None:
     model.replicate_state()
 
     ds = opt["datasets"]["train"]
-    rows = int(ds.get("batch_size_per_gpu", 16)) * jax.local_device_count()
+    accum = int((opt.get("train") or {}).get("accum_steps", 1) or 1)
+    rows = int(ds.get("batch_size_per_gpu", 16)) * jax.local_device_count() * accum
     batch = _synth_batch(ds, scale, rows, with_old=bool(ds.get("old_naip_path")))
     logs = model.train_iter(batch, 1)
     jax.block_until_ready(list(logs.values()))

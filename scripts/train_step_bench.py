@@ -21,6 +21,12 @@ def main():
     # the lax.cond SKIP branch (G forward only, no G backward/step). Compares
     # against the default always-update config to quantify the gate's cost.
     gated = "gated" in sys.argv[3:]
+    # accumN: N micro-batches of `batch` rows per optimizer step (effective
+    # batch = N * batch at the activation footprint of `batch`)
+    accum = 1
+    for a in sys.argv[3:]:
+        if a.startswith("accum"):
+            accum = int(a[len("accum"):] or 2)
 
     from satlas_sr_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -58,16 +64,17 @@ def main():
                         "real_label_val": 1.0, "fake_label_val": 0.0,
                         "loss_weight": 0.1},
             "net_d_iters": 1, "net_d_init_iters": 1_000_000_000 if gated else 0,
+            "accum_steps": accum,
         },
         "logger": {"print_freq": 1, "save_checkpoint_freq": 100000},
     }
     model = build_model(opt)
     rng = np.random.RandomState(0)
     batch_np = {
-        "lr": (rng.rand(batch, 32, 32, 24) * 255).astype(np.uint8),
-        "hr": (rng.rand(batch, 128, 128, 3) * 255).astype(np.uint8),
+        "lr": (rng.rand(batch * accum, 32, 32, 24) * 255).astype(np.uint8),
+        "hr": (rng.rand(batch * accum, 128, 128, 3) * 255).astype(np.uint8),
     }
-    print(f"compiling train step (batch={batch}, {dtype}, remat={remat})...",
+    print(f"compiling train step (batch={batch}, {dtype}, remat={remat}, accum={accum})...",
           flush=True)
     t0 = time.perf_counter()
     logs = model.train_iter(batch_np, 1)
@@ -84,7 +91,7 @@ def main():
         jax.block_until_ready(logs)  # logs are lazy device scalars now
         dt = time.perf_counter() - t0
         best = max(best, iters / dt)
-    print(f"steady state: {best:.2f} steps/s = {best * batch:.1f} samples/s "
+    print(f"steady state: {best:.2f} steps/s = {best * batch * accum:.1f} samples/s "
           f"({1000 / best:.0f} ms/step)", flush=True)
     print("logs:", {k: round(v, 4) for k, v in sorted(logs.items())})
 

@@ -440,3 +440,94 @@ def test_train_cli_preemption_sigterm(tmp_path, rng):
     train_pipeline(str(tmp_path), argv=["-opt", str(opt_path), "--auto_resume"])
     lines = [json.loads(l) for l in metrics.read_text().splitlines()]
     assert any(l["iter"] == saved_iter + 1 for l in lines)
+
+
+def test_esrgan_accum_steps_runs_and_matches_log_keys(tmp_path, rng):
+    """accum_steps=2: one jitted step scans two micro-batches, applies ONE
+    G and ONE D update, and logs micro-batch means with the same keys as the
+    plain step."""
+    import jax
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["name"] = "accum"
+    del opt["train"]["perceptual_opt"]
+    opt["train"]["accum_steps"] = 2
+    model = build_model(opt)
+
+    plain = _esrgan_opt(tmp_path, s2, naip)
+    plain["name"] = "plain"
+    del plain["train"]["perceptual_opt"]
+    plain_model = build_model(plain)
+
+    batch = {
+        "lr": (rng.rand(4, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(4, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = model.train_iter(batch, 1)
+    plain_logs = plain_model.train_iter(
+        {"lr": batch["lr"][:2], "hr": batch["hr"][:2]}, 1
+    )
+    assert set(logs) == set(plain_logs)
+    assert all(np.isfinite(float(v)) for v in logs.values())
+    assert int(model.state["step"]) == 1
+
+    logs2 = model.train_iter(batch, 2)
+    assert int(model.state["step"]) == 2
+    assert all(np.isfinite(float(v)) for v in logs2.values())
+
+    # eval path is unaffected by the accumulation layout
+    out = model.eval_outputs({"lr": batch["lr"][:2]})
+    assert out.shape == (2, 128, 128, 3)
+
+
+def test_train_cli_with_accum_steps(tmp_path, rng):
+    """Through the CLI: the loader yields k*b rows per iteration and the
+    checkpoint cadence counts OPTIMIZER steps, not micro-batches."""
+    from satlas_sr_tpu.train import train_pipeline
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["name"] = "cli_accum"
+    opt["train"]["total_iter"] = 2
+    opt["train"]["accum_steps"] = 2
+    del opt["train"]["perceptual_opt"]
+    opt["datasets"]["train"]["batch_size_per_gpu"] = 1
+    opt["path"] = {"resume_state": None}
+    opt["logger"]["save_checkpoint_freq"] = 2
+    opt.pop("is_train", None)
+    opt.pop("rank", None); opt.pop("world_size", None); opt.pop("seed_with_rank", None)
+    opt["val"] = None
+
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
+    exp = tmp_path / "experiments" / "cli_accum"
+    assert (exp / "training_states" / "2.state").exists()
+    import json
+    lines = [json.loads(l) for l in (exp / "metrics.jsonl").read_text().splitlines()]
+    assert [l["iter"] for l in lines] == [1, 2]
+
+
+def test_l2_rejects_accum_steps(tmp_path, rng):
+    """L2Model must refuse accum_steps rather than silently train at a larger
+    batch (train.py scales the loader batch by k for the ESRGAN scan)."""
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _base_opt(tmp_path, s2, naip, "l2_accum")
+    opt.update({
+        "model_type": "L2Model",
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [10], "gamma": 0.5},
+                  "total_iter": 2, "warmup_iter": -1, "accum_steps": 2},
+    })
+    opt["datasets"]["train"]["use_3d"] = True
+    with pytest.raises(ValueError, match="accum_steps"):
+        build_model(opt)
