@@ -461,13 +461,20 @@ def test_esrgan_accum_steps_runs_and_matches_log_keys(tmp_path, rng):
     del plain["train"]["perceptual_opt"]
     plain_model = build_model(plain)
 
+    # k=2 micro-batches of 8 rows: axis 1 genuinely shards over the 8-device
+    # CPU mesh (1 row per device), not the replicated fallback
     batch = {
-        "lr": (rng.rand(4, 32, 32, 6) * 255).astype(np.uint8),
-        "hr": (rng.rand(4, 128, 128, 3) * 255).astype(np.uint8),
+        "lr": (rng.rand(16, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(16, 128, 128, 3) * 255).astype(np.uint8),
     }
+    sharded = model._shard_train_array(batch["lr"])
+    assert sharded.shape == (2, 8, 32, 32, 6)
+    assert len(sharded.sharding.device_set) == 8
+    assert sharded.addressable_shards[0].data.shape == (2, 1, 32, 32, 6)
+
     logs = model.train_iter(batch, 1)
     plain_logs = plain_model.train_iter(
-        {"lr": batch["lr"][:2], "hr": batch["hr"][:2]}, 1
+        {"lr": batch["lr"][:8], "hr": batch["hr"][:8]}, 1
     )
     assert set(logs) == set(plain_logs)
     assert all(np.isfinite(float(v)) for v in logs.values())
