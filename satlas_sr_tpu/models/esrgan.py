@@ -220,12 +220,52 @@ class ESRGANModel(BaseModel):
         updates, new_opt = tx.update(grads, opt_state, params)
         return jax.tree.map(lambda a, b: a + b, params, updates), new_opt
 
+    def _g_loss_and_aux(self, p, lr, l1_gt, percep_gt, lr_resized, old_hr,
+                        d_params, spectral):
+        """Generator loss for one (micro-)batch under `jax.grad`.
+
+        aux = (logs, generator output, post-forward spectral state) — shared
+        by the plain and gradient-accumulation step builders so the GAN loss
+        surface exists exactly once."""
+        out = self.net_g.apply({"params": p}, lr)
+        total, logs = self._g_content_losses(out, l1_gt, percep_gt)
+        disc_in = self._disc_input(out, lr_resized, old_hr)
+        fake_pred, mut = self.net_d.apply(
+            {"params": d_params, "spectral": spectral},
+            disc_in, update_stats=True, mutable=["spectral"],
+        )
+        l_gan = self.cri_gan(fake_pred, True, is_disc=False)
+        total += l_gan
+        logs["l_g_gan"] = l_gan
+        total, logs = self._g_clip_loss(out, l1_gt, total, logs)
+        return total, (logs, out, mut["spectral"])
+
+    def _d_loss_and_aux(self, p, real_in, fake_in, spectral):
+        """Discriminator real+fake loss for one (micro-)batch under `jax.grad`;
+        the two forwards run sequential spectral-norm power iterations."""
+        real_pred, mut1 = self.net_d.apply(
+            {"params": p, "spectral": spectral}, real_in,
+            update_stats=True, mutable=["spectral"],
+        )
+        l_d_real = self.cri_gan(real_pred, True, is_disc=True)
+        fake_pred, mut2 = self.net_d.apply(
+            {"params": p, "spectral": mut1["spectral"]}, fake_in,
+            update_stats=True, mutable=["spectral"],
+        )
+        l_d_fake = self.cri_gan(fake_pred, False, is_disc=True)
+        logs = {
+            "l_d_real": l_d_real,
+            "l_d_fake": l_d_fake,
+            "out_d_real": jnp.mean(real_pred),
+            "out_d_fake": jnp.mean(fake_pred),
+        }
+        return l_d_real + l_d_fake, (logs, mut2["spectral"])
+
     def _build_train_step(self):
         if self.accum_steps > 1:
             return self._build_accum_train_step()
-        net_g, net_d = self.net_g, self.net_d
+        net_g = self.net_g
         tx_g, tx_d = self.tx_g, self.tx_d
-        cri_gan = self.cri_gan
         ema_decay = self.ema_decay
         net_d_iters, net_d_init_iters = self.net_d_iters, self.net_d_init_iters
 
@@ -244,18 +284,10 @@ class ESRGANModel(BaseModel):
 
             def g_update(_):
                 def loss_fn(p):
-                    out = net_g.apply({"params": p}, lr)
-                    total, logs = self._g_content_losses(out, l1_gt, percep_gt)
-                    disc_in = self._disc_input(out, lr_resized, old_hr)
-                    fake_pred, mut = net_d.apply(
-                        {"params": d_params, "spectral": spectral},
-                        disc_in, update_stats=True, mutable=["spectral"],
+                    return self._g_loss_and_aux(
+                        p, lr, l1_gt, percep_gt, lr_resized, old_hr,
+                        d_params, spectral,
                     )
-                    l_gan = cri_gan(fake_pred, True, is_disc=False)
-                    total += l_gan
-                    logs["l_g_gan"] = l_gan
-                    total, logs = self._g_clip_loss(out, l1_gt, total, logs)
-                    return total, (logs, out, mut["spectral"])
 
                 grads, (logs, out, new_spectral) = jax.grad(loss_fn, has_aux=True)(g_params)
                 new_params, new_opt = self._apply_opt(tx_g, grads, g_opt, g_params)
@@ -284,23 +316,7 @@ class ESRGANModel(BaseModel):
             fake_in = self._disc_input(jax.lax.stop_gradient(output), lr_resized, old_hr)
 
             def d_loss_fn(p):
-                real_pred, mut1 = net_d.apply(
-                    {"params": p, "spectral": spectral1}, real_in,
-                    update_stats=True, mutable=["spectral"],
-                )
-                l_d_real = cri_gan(real_pred, True, is_disc=True)
-                fake_pred, mut2 = net_d.apply(
-                    {"params": p, "spectral": mut1["spectral"]}, fake_in,
-                    update_stats=True, mutable=["spectral"],
-                )
-                l_d_fake = cri_gan(fake_pred, False, is_disc=True)
-                logs = {
-                    "l_d_real": l_d_real,
-                    "l_d_fake": l_d_fake,
-                    "out_d_real": jnp.mean(real_pred),
-                    "out_d_fake": jnp.mean(fake_pred),
-                }
-                return l_d_real + l_d_fake, (logs, mut2["spectral"])
+                return self._d_loss_and_aux(p, real_in, fake_in, spectral1)
 
             d_grads, (d_logs, new_spectral) = jax.grad(d_loss_fn, has_aux=True)(d_params)
             new_d_params, new_d_opt = self._apply_opt(tx_d, d_grads, state["d"]["opt"], d_params)
@@ -327,9 +343,8 @@ class ESRGANModel(BaseModel):
         only the k generator outputs are carried between the G and D phases.
         Spectral-norm power iterations run sequentially through every D
         forward, exactly as k consecutive plain steps would."""
-        net_g, net_d = self.net_g, self.net_d
+        net_g = self.net_g
         tx_g, tx_d = self.tx_g, self.tx_d
-        cri_gan = self.cri_gan
         ema_decay = self.ema_decay
         net_d_iters, net_d_init_iters = self.net_d_iters, self.net_d_init_iters
         k = self.accum_steps
@@ -356,18 +371,10 @@ class ESRGANModel(BaseModel):
                     lr, old_hr, l1_gt, percep_gt, _, lr_resized = prep(xj)
 
                     def loss_fn(p):
-                        out = net_g.apply({"params": p}, lr)
-                        total, logs = self._g_content_losses(out, l1_gt, percep_gt)
-                        disc_in = self._disc_input(out, lr_resized, old_hr)
-                        fake_pred, mut = net_d.apply(
-                            {"params": d_params, "spectral": spec},
-                            disc_in, update_stats=True, mutable=["spectral"],
+                        return self._g_loss_and_aux(
+                            p, lr, l1_gt, percep_gt, lr_resized, old_hr,
+                            d_params, spec,
                         )
-                        l_gan = cri_gan(fake_pred, True, is_disc=False)
-                        total += l_gan
-                        logs["l_g_gan"] = l_gan
-                        total, logs = self._g_clip_loss(out, l1_gt, total, logs)
-                        return total, (logs, out, mut["spectral"])
 
                     grads, (logs, out, new_spec) = jax.grad(loss_fn, has_aux=True)(g_params)
                     acc = jax.tree.map(jnp.add, acc, grads)
@@ -408,23 +415,7 @@ class ESRGANModel(BaseModel):
                 )
 
                 def d_loss_fn(p):
-                    real_pred, mut1 = net_d.apply(
-                        {"params": p, "spectral": spec}, real_in,
-                        update_stats=True, mutable=["spectral"],
-                    )
-                    l_d_real = cri_gan(real_pred, True, is_disc=True)
-                    fake_pred, mut2 = net_d.apply(
-                        {"params": p, "spectral": mut1["spectral"]}, fake_in,
-                        update_stats=True, mutable=["spectral"],
-                    )
-                    l_d_fake = cri_gan(fake_pred, False, is_disc=True)
-                    logs = {
-                        "l_d_real": l_d_real,
-                        "l_d_fake": l_d_fake,
-                        "out_d_real": jnp.mean(real_pred),
-                        "out_d_fake": jnp.mean(fake_pred),
-                    }
-                    return l_d_real + l_d_fake, (logs, mut2["spectral"])
+                    return self._d_loss_and_aux(p, real_in, fake_in, spec)
 
                 grads, (logs, new_spec) = jax.grad(d_loss_fn, has_aux=True)(d_params)
                 acc = jax.tree.map(jnp.add, acc, grads)

@@ -27,7 +27,9 @@ from .base import BaseModel, build_optimizer, to_uint8
 class L2Model(BaseModel):
     def __init__(self, opt: Dict[str, Any]):
         super().__init__(opt)
-        if int((opt.get("train") or {}).get("accum_steps", 1) or 1) > 1:
+        if bool(opt.get("is_train")) and int(
+            (opt.get("train") or {}).get("accum_steps", 1) or 1
+        ) > 1:
             # train.py scales the loader batch by accum_steps; accepting the
             # key here would silently train at a larger batch instead of
             # accumulating.

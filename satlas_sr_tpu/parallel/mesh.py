@@ -90,21 +90,34 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     into halo-exchange programs, bit-exact vs replicated. Single-process only
     (multi-process hosts feed batch-axis shards; rows stay whole per host).
     """
+    return _shard_rows_on_axis(mesh, batch, axis=0)
+
+
+def _shard_rows_on_axis(mesh: Mesh, batch: Any, axis: int) -> Any:
+    """Shared engine for shard_batch (axis 0) and shard_microbatches (axis 1):
+    the divisibility guard, image-row 'space' sharding, multi-process global
+    assembly, and the replicated fallback, with all axes shifted by `axis`."""
     n_data = mesh_axis_size(mesh, "data", mesh.devices.size)
     n_space = mesh_axis_size(mesh, "space", 1)
     n_proc = jax.process_count()
 
     def put(x):
-        if np.ndim(x) >= 1 and np.shape(x)[0] * n_proc % n_data == 0:
+        if np.ndim(x) > axis and np.shape(x)[axis] * n_proc % n_data == 0:
             ndim = np.ndim(x)
-            h_axis = {4: 1, 5: 2}.get(ndim)
+            h_axis = {4: 1, 5: 2}.get(ndim - axis)
+            if h_axis is not None:
+                h_axis += axis
+            spec: list = [None] * ndim
+            spec[axis] = "data"
             if (n_space > 1 and n_proc == 1 and h_axis is not None
                     and np.shape(x)[h_axis] % n_space == 0):
-                sharding = spatial_sharding(mesh, ndim, h_axis)
-            else:
-                sharding = batch_sharding(mesh, ndim)
+                spec[h_axis] = "space"
+            sharding = NamedSharding(mesh, P(*spec))
             if n_proc > 1:
-                global_shape = (np.shape(x)[0] * n_proc,) + tuple(np.shape(x)[1:])
+                global_shape = tuple(
+                    np.shape(x)[i] * (n_proc if i == axis else 1)
+                    for i in range(ndim)
+                )
                 return jax.make_array_from_process_local_data(
                     sharding, np.asarray(x), global_shape
                 )
@@ -122,31 +135,7 @@ def shard_microbatches(mesh: Mesh, batch: Any) -> Any:
     over 'data' exactly like shard_batch's axis 0. Image rows additionally
     shard over 'space' on a 2-D mesh (axes shift by one vs shard_batch).
     """
-    n_data = mesh_axis_size(mesh, "data", mesh.devices.size)
-    n_space = mesh_axis_size(mesh, "space", 1)
-    n_proc = jax.process_count()
-
-    def put(x):
-        if np.ndim(x) >= 2 and np.shape(x)[1] * n_proc % n_data == 0:
-            ndim = np.ndim(x)
-            h_axis = {5: 2, 6: 3}.get(ndim)
-            spec: list = [None] * ndim
-            spec[1] = "data"
-            if (n_space > 1 and n_proc == 1 and h_axis is not None
-                    and np.shape(x)[h_axis] % n_space == 0):
-                spec[h_axis] = "space"
-            sharding = NamedSharding(mesh, P(*spec))
-            if n_proc > 1:
-                global_shape = (
-                    np.shape(x)[0], np.shape(x)[1] * n_proc,
-                ) + tuple(np.shape(x)[2:])
-                return jax.make_array_from_process_local_data(
-                    sharding, np.asarray(x), global_shape
-                )
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, replicated(mesh))
-
-    return jax.tree.map(put, batch)
+    return _shard_rows_on_axis(mesh, batch, axis=1)
 
 
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
