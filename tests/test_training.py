@@ -538,3 +538,27 @@ def test_l2_rejects_accum_steps(tmp_path, rng):
     opt["datasets"]["train"]["use_3d"] = True
     with pytest.raises(ValueError, match="accum_steps"):
         build_model(opt)
+
+
+def test_esrgan_accum_with_gated_g(tmp_path, rng):
+    """accum_steps composes with net_d_init_iters gating: the skip branch
+    scans plain G forwards (zero G logs), the update branch kicks in after."""
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["name"] = "accum_gated"
+    del opt["train"]["perceptual_opt"]
+    opt["train"]["accum_steps"] = 2
+    opt["train"]["net_d_init_iters"] = 1  # iter 1 skips the G update
+    model = build_model(opt)
+
+    batch = {
+        "lr": (rng.rand(4, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(4, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs1 = model.train_iter(batch, 1)
+    assert float(logs1["l_g_pix"]) == 0.0  # skip branch: zeroed G logs
+    assert np.isfinite(float(logs1["l_d_real"]))
+    logs2 = model.train_iter(batch, 2)
+    assert float(logs2["l_g_pix"]) > 0.0  # gate opened: real G losses
