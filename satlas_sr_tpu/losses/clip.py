@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..registry import LOSS_REGISTRY
 from ..metrics.clip_encoder import MODEL_SPECS, get_encoder
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_nearest
 
 OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -46,8 +46,10 @@ def clip_loss(
     std = jnp.asarray(OPENAI_DATASET_STD)
 
     def fn(x: jax.Array, gt: jax.Array) -> jax.Array:
-        x = resize_bilinear(x, (img_size, img_size))
-        gt = resize_bilinear(gt, (img_size, img_size))
+        # Reference uses F.interpolate's DEFAULT mode — nearest
+        # (ssr/losses/basic_loss.py:39-40).
+        x = resize_nearest(x, (img_size, img_size))
+        gt = resize_nearest(gt, (img_size, img_size))
         x = (x - mean) / std
         gt = (gt - mean) / std
         fx = encode(x)

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..registry import METRIC_REGISTRY
 from .clip_encoder import MODEL_SPECS, get_encoder
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_nearest
 
 
 @functools.lru_cache(maxsize=4)
@@ -34,8 +34,10 @@ def _scorer(clip_model: str, weights_path=None):
 
     @jax.jit
     def score(a: jax.Array, b: jax.Array) -> jax.Array:
-        a = resize_bilinear(a, (size, size))
-        b = resize_bilinear(b, (size, size))
+        # Reference uses F.interpolate's DEFAULT mode — nearest
+        # (ssr/metrics/clipscore.py:31-32).
+        a = resize_nearest(a, (size, size))
+        b = resize_nearest(b, (size, size))
         fa = encode(a)
         fb = encode(b)
         fa = fa / (jnp.linalg.norm(fa, axis=-1, keepdims=True) + 1e-8)

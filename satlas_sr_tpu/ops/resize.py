@@ -57,6 +57,48 @@ def _interp_matrix(out_size: int, in_size: int) -> jnp.ndarray:
     return m
 
 
+def _nearest_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """Dense 0/1 [out, in] selection matrix for torch-default nearest resize.
+
+    torch.nn.functional.interpolate(mode='nearest') picks src = floor(dst *
+    in/out) (see upsampling_nearest's area_pixel_compute_source_index with
+    align_corners=False legacy semantics). A selection matmul keeps the resize
+    on the MXU and fusable, like _interp_matrix; 0/1 weights make the matmul
+    bit-exact for float inputs.
+    """
+    src = jnp.floor(
+        jnp.arange(out_size, dtype=jnp.float32) * (in_size / out_size)
+    ).astype(jnp.int32)
+    src = jnp.minimum(src, in_size - 1)
+    m = jnp.zeros((out_size, in_size), jnp.float32)
+    m = m.at[jnp.arange(out_size), src].set(1.0)
+    return m
+
+
+def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Nearest resize of NHWC to an arbitrary size, matching torch's
+    F.interpolate(x, size) DEFAULT mode ('nearest').
+
+    Parity: the reference resizes CLIPLoss / CLIPScore inputs with the default
+    mode (ssr/losses/basic_loss.py:39-40, ssr/metrics/clipscore.py:31-32) —
+    nearest, NOT bilinear. Do not "upgrade" this (same trap as rand_crop,
+    data/s2naip.py).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if oh != h:
+        xf = jnp.einsum("oh,nhwc->nowc", _nearest_matrix(oh, h), xf,
+                        precision=jax.lax.Precision.HIGHEST)
+    if ow != w:
+        xf = jnp.einsum("pw,nhwc->nhpc", _nearest_matrix(ow, w), xf,
+                        precision=jax.lax.Precision.HIGHEST)
+    return xf.astype(dtype)
+
+
 def upsample_bilinear(x: jax.Array, scale: int) -> jax.Array:
     """Bilinear upsample (align_corners=False), matching torch's F.interpolate."""
     n, h, w, c = x.shape

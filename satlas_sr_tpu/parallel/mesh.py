@@ -194,8 +194,15 @@ def sum_across_processes(vec: np.ndarray) -> np.ndarray:
         return np.asarray(vec)
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(np.asarray(vec, np.float64))
-    return np.asarray(gathered).sum(axis=0)
+    # process_allgather silently downcasts f64→f32 when jax_enable_x64 is off
+    # (ADVICE r2), so transport each value as an exact (hi, lo) float32 pair —
+    # hi = f32(x), lo = f32(x - hi) — and recombine + sum in f64 on host.
+    v = np.asarray(vec, np.float64)
+    hi = v.astype(np.float32)
+    lo = (v - hi).astype(np.float32)
+    gathered = multihost_utils.process_allgather(np.stack([hi, lo]))  # [P, 2, N]
+    g = np.asarray(gathered, np.float64)
+    return (g[:, 0, :] + g[:, 1, :]).sum(axis=0)
 
 
 def local_shard_indices(total: int, shard: int, num_shards: int):

@@ -153,15 +153,24 @@ def train_pipeline(root_path: str, argv=None) -> None:
         prev_sigterm = None
 
     world_size = int(opt.get("world_size", 1) or 1)
+    # Collective stop polls are a blocking cross-host allgather; doing one at
+    # EVERY iteration would serialize the async step-dispatch pipeline
+    # (ADVICE r2). Preemption notice windows are tens of seconds, so poll on
+    # the print_freq cadence capped at 50 iters (~seconds of latency).
+    stop_poll_every = 1 if world_size <= 1 else max(
+        1, min(int(opt["logger"].get("print_freq", 100)), 50))
 
-    def stop_requested() -> bool:
+    def stop_requested(it: int) -> bool:
         """Collective stop decision. With >1 process the local flag is summed
-        across processes every iteration so ALL ranks leave the (collective)
-        train step at the same iteration: a rank stopping alone would strand
-        the others in the step's cross-process collectives, and the signal
-        may land on a rank other than the one that saves (rank 0)."""
+        across processes (on a cadence identical on every rank) so ALL ranks
+        leave the (collective) train step at the same iteration: a rank
+        stopping alone would strand the others in the step's cross-process
+        collectives, and the signal may land on a rank other than the one
+        that saves (rank 0)."""
         if world_size <= 1:
             return bool(stop_signals)
+        if it % stop_poll_every:
+            return False  # local flag held until the next collective poll
         import numpy as _np
         from jax.experimental import multihost_utils
 
@@ -172,7 +181,7 @@ def train_pipeline(root_path: str, argv=None) -> None:
     train_iter_stream = iter(train_loader)
     try:
         while current_iter < total_iters:
-            if stop_requested():
+            if stop_requested(current_iter):
                 local = stop_signals[0] if stop_signals else "peer rank"
                 logger.warning(
                     f"Stop signal ({local}) received: saving preemption "

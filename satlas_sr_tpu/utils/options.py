@@ -73,15 +73,13 @@ def init_distributed(launcher: str) -> Tuple[int, int]:
     """
     import jax
 
-    if launcher != "none":
-        try:
-            jax.distributed.initialize()
-        except Exception:  # already initialized or single-host fallback
-            pass
-    try:
-        return jax.process_index(), jax.process_count()
-    except Exception:
-        return 0, 1
+    # tolerate ONLY an already-initialized client (harness / launcher scripts
+    # init first); any other failure must abort loudly — a silently-degraded
+    # rank would rerun the FULL corpus and race peers on the same output
+    # paths (ADVICE r2)
+    if launcher != "none" and not jax.distributed.is_initialized():
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
 
 
 def parse_options(root_path: str, is_train: bool = True, argv=None):

@@ -15,7 +15,7 @@ from satlas_sr_tpu.ops import (
     upsample_nearest,
     usm_sharp,
 )
-from satlas_sr_tpu.ops.resize import resize_bilinear
+from satlas_sr_tpu.ops.resize import resize_bilinear, resize_nearest
 
 
 def _nhwc(x):
@@ -49,6 +49,32 @@ def test_resize_bilinear_arbitrary_matches_torch(rng):
     ).numpy()
     y_j = _nchw(resize_bilinear(_nhwc(x), (7, 11)))
     np.testing.assert_allclose(y_j, y_t, atol=1e-5)
+
+
+def test_resize_nearest_arbitrary_matches_torch(rng):
+    # F.interpolate's DEFAULT mode is nearest — the mode the reference's CLIP
+    # preprocess uses (ssr/losses/basic_loss.py:39-40, metrics/clipscore.py:31-32).
+    for in_hw, out_hw in [((16, 16), (7, 11)), ((32, 37), (224, 224)),
+                          ((128, 128), (384, 384)), ((97, 103), (48, 64))]:
+        x = rng.randn(1, 3, *in_hw).astype(np.float32)
+        y_t = F.interpolate(torch.from_numpy(x), size=out_hw).numpy()
+        y_j = _nchw(resize_nearest(_nhwc(x), out_hw))
+        np.testing.assert_array_equal(y_j, y_t)
+
+
+def test_clip_preprocess_matches_torch(rng):
+    # Full CLIPLoss preprocess chain: nearest resize + OpenAI mean/std
+    # normalisation (ssr/losses/basic_loss.py:36-44).
+    from satlas_sr_tpu.losses.clip import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+    x = rng.rand(2, 3, 100, 100).astype(np.float32)
+    m_t = torch.tensor(OPENAI_DATASET_MEAN).view(1, 3, 1, 1)
+    s_t = torch.tensor(OPENAI_DATASET_STD).view(1, 3, 1, 1)
+    y_t = ((F.interpolate(torch.from_numpy(x), size=(256, 256)) - m_t) / s_t).numpy()
+    mean = jnp.asarray(OPENAI_DATASET_MEAN)
+    std = jnp.asarray(OPENAI_DATASET_STD)
+    y_j = _nchw((resize_nearest(_nhwc(x), (256, 256)) - mean) / std)
+    np.testing.assert_allclose(y_j, y_t, atol=1e-6)
 
 
 def test_pixel_shuffle_roundtrip_matches_torch(rng):
