@@ -474,6 +474,144 @@ def test_rn50_encoder_builds_from_checkpoint_file(tmp_path, rng):
     assert out.shape == (1, 16) and np.isfinite(np.asarray(out)).all()
 
 
+# -- timm Eva (EVA02-E-14-plus trunk, post-norm fused-qkv variant) ----------------
+
+
+def _eva_state(rng, w=32, layers=2, patch=8, n_patches=16, embed=16,
+               prefix="visual.trunk."):
+    """timm Eva naming as shipped in open_clip EVA-CLIP checkpoints: fused
+    bias-free qkv + separate q_bias/v_bias params (k bias is a zeros buffer,
+    absent from the dict), post-norm blocks, classifier head = projection."""
+    mlp = 4 * w
+    state = {
+        f"{prefix}patch_embed.proj.weight": _t(rng, w, 3, patch, patch),
+        f"{prefix}patch_embed.proj.bias": _t(rng, w, scale=0.05),
+        f"{prefix}cls_token": _t(rng, 1, 1, w),
+        f"{prefix}pos_embed": _t(rng, 1, n_patches + 1, w),
+        f"{prefix}norm.weight": 1 + _t(rng, w, scale=0.05),
+        f"{prefix}norm.bias": _t(rng, w, scale=0.05),
+        f"{prefix}head.weight": _t(rng, embed, w),
+        f"{prefix}head.bias": _t(rng, embed, scale=0.05),
+    }
+    for i in range(layers):
+        b = f"{prefix}blocks.{i}"
+        state.update({
+            f"{b}.norm1.weight": 1 + _t(rng, w, scale=0.05),
+            f"{b}.norm1.bias": _t(rng, w, scale=0.05),
+            f"{b}.attn.qkv.weight": _t(rng, 3 * w, w),
+            f"{b}.attn.q_bias": _t(rng, w, scale=0.05),
+            f"{b}.attn.v_bias": _t(rng, w, scale=0.05),
+            f"{b}.attn.proj.weight": _t(rng, w, w),
+            f"{b}.attn.proj.bias": _t(rng, w, scale=0.05),
+            f"{b}.norm2.weight": 1 + _t(rng, w, scale=0.05),
+            f"{b}.norm2.bias": _t(rng, w, scale=0.05),
+            f"{b}.mlp.fc1.weight": _t(rng, mlp, w),
+            f"{b}.mlp.fc1.bias": _t(rng, mlp, scale=0.05),
+            f"{b}.mlp.fc2.weight": _t(rng, w, mlp),
+            f"{b}.mlp.fc2.bias": _t(rng, w, scale=0.05),
+        })
+    return state
+
+
+@torch.no_grad()
+def _eva_oracle(state, x_nchw, layers=2, heads=2, patch=8,
+                prefix="visual.trunk."):
+    """timm Eva forward (use_post_norm=True, qkv_fused, global_pool='token'):
+    x + norm1(attn(x)), x + norm2(mlp(x)), final norm, cls token, head."""
+    g = lambda k: state[prefix + k]
+    w = g("patch_embed.proj.weight").shape[0]
+    d = w // heads
+    eps = 1e-6
+    x = F.conv2d(x_nchw, g("patch_embed.proj.weight"),
+                 g("patch_embed.proj.bias"), stride=patch)
+    b = x.shape[0]
+    x = x.flatten(2).transpose(1, 2)
+    cls = g("cls_token").expand(b, 1, w)
+    x = torch.cat([cls, x], dim=1) + g("pos_embed")
+    n = x.shape[1]
+    for i in range(layers):
+        base = f"blocks.{i}"
+        qkv_bias = torch.cat([g(f"{base}.attn.q_bias"),
+                              torch.zeros(w), g(f"{base}.attn.v_bias")])
+        qkv = (x @ g(f"{base}.attn.qkv.weight").T + qkv_bias)
+        qkv = qkv.reshape(b, n, 3, heads, d).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = torch.softmax(q @ k.transpose(-2, -1) / d ** 0.5, dim=-1)
+        y = (attn @ v).transpose(1, 2).reshape(b, n, w)
+        y = y @ g(f"{base}.attn.proj.weight").T + g(f"{base}.attn.proj.bias")
+        x = x + F.layer_norm(y, (w,), g(f"{base}.norm1.weight"),
+                             g(f"{base}.norm1.bias"), eps)
+        y = x @ g(f"{base}.mlp.fc1.weight").T + g(f"{base}.mlp.fc1.bias")
+        y = F.gelu(y) @ g(f"{base}.mlp.fc2.weight").T + g(f"{base}.mlp.fc2.bias")
+        x = x + F.layer_norm(y, (w,), g(f"{base}.norm2.weight"),
+                             g(f"{base}.norm2.bias"), eps)
+    x = F.layer_norm(x, (w,), g("norm.weight"), g("norm.bias"), eps)[:, 0]
+    return (x @ g("head.weight").T + g("head.bias")).numpy()
+
+
+@pytest.mark.parametrize("prefix", ["visual.trunk.", ""])
+def test_eva_import_forward_equality(tmp_path, rng, prefix):
+    import jax
+
+    from satlas_sr_tpu.metrics.clip_encoder import (
+        MODEL_SPECS, _vit_encode, load_vit_from_torch)
+
+    state = _eva_state(rng, prefix=prefix)
+    path = str(tmp_path / "eva.pth")
+    torch.save(state, path)
+
+    spec = MODEL_SPECS["test-tiny-eva"]
+    params = load_vit_from_torch(path, spec)
+    assert params is not None and "cls" in params and "ln_pre" not in params
+
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    got = np.asarray(_vit_encode(jax.tree.map(jnp.asarray, params), spec,
+                                 jnp.asarray(x)))
+    want = _eva_oracle(state, torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                       prefix=prefix)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_eva_swiglu_rope_variant_refused(tmp_path, rng):
+    """eva02 B/L MIM trunks (SwiGLU + RoPE) must be refused loudly: RoPE has
+    no params, so a silent import would yield wrong embeddings."""
+    from satlas_sr_tpu.metrics.clip_encoder import (
+        MODEL_SPECS, TowerImportError, load_vit_from_torch)
+
+    state = _eva_state(rng)
+    state["visual.trunk.blocks.0.mlp.fc1_g.weight"] = _t(rng, 64, 32)
+    path = str(tmp_path / "eva02_l.pth")
+    torch.save(state, path)
+    with pytest.raises(TowerImportError, match="SwiGLU/RoPE"):
+        load_vit_from_torch(path, MODEL_SPECS["test-tiny-eva"])
+
+
+def test_eva02_spec_geometry():
+    """The shipped EVA02-E-14-plus spec must be the real trunk geometry
+    (timm eva02_enormous_patch14_clip_224), not a plain-ViT stand-in."""
+    from satlas_sr_tpu.metrics.clip_encoder import MODEL_SPECS, _mlp_dim
+
+    spec = MODEL_SPECS["EVA02-E-14-plus"]
+    assert (spec.width, spec.layers, spec.heads) == (1792, 64, 16)
+    assert spec.post_norm and spec.pool == "cls" and spec.ln_eps == 1e-6
+    assert _mlp_dim(spec) == 15360 and spec.embed_dim == 1024
+
+
+def test_provided_weights_never_silently_randomize(tmp_path, rng):
+    """get_encoder must raise for a supplied weights file that is missing or
+    matches no naming family — never degrade to the random tower
+    (VERDICT r2 next #5)."""
+    from satlas_sr_tpu.metrics.clip_encoder import TowerImportError, get_encoder
+
+    with pytest.raises(TowerImportError, match="does not exist"):
+        get_encoder("test-tiny", str(tmp_path / "nope.pth"))
+
+    path = str(tmp_path / "garbage.pth")
+    torch.save({"some.unrelated.weight": _t(rng, 4, 4)}, path)
+    with pytest.raises(TowerImportError, match="no known naming family"):
+        get_encoder("test-tiny", path)
+
+
 # -- near-matching state dicts must raise, not crash or silently randomize --------
 
 
