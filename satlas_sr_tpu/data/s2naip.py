@@ -207,6 +207,15 @@ class S2NAIPDataset:
     def _load(self, index: int, salt: Optional[int]) -> Dict[str, Any]:
         counter = 0
         while True:
+            if counter > 2 * self.data_len + 16:
+                # beyond-reference guard: the reference's skip-and-advance
+                # loop (s2-naip_dataset.py:157-203) spins FOREVER when every
+                # sample is invalid (e.g. wrong frame geometry); fail loudly
+                # after cycling the dataset instead
+                raise RuntimeError(
+                    f"no valid sample found after {counter} skip-and-advance "
+                    f"attempts over {self.data_len} datapoints — every sample "
+                    "has black pixels, missing bands, or non-32x32 frames")
             index += counter
             if index >= self.data_len:
                 index = 0

@@ -51,7 +51,14 @@ class InferenceEngine:
         self.use_3d = use_3d
         self.n_frames = n_frames
         if use_mesh:
-            self.mesh = mesh_2d(spatial_shards) if spatial_shards > 1 else data_mesh()
+            # Multi-process jobs (--launcher jax): each process runs an
+            # INDEPENDENT program over its own corpus shard, so the engine's
+            # mesh spans only this host's devices — results stay fully
+            # addressable (np.asarray works) and no cross-host lockstep is
+            # required between ranks with different batch counts (ADVICE r2).
+            devices = jax.local_devices() if jax.process_count() > 1 else None
+            self.mesh = (mesh_2d(spatial_shards, devices)
+                         if spatial_shards > 1 else data_mesh(devices))
         else:
             self.mesh = None
         if self.mesh is not None:

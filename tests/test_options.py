@@ -76,3 +76,36 @@ def test_force_yml_cli_integration(tmp_path):
         argv=["-opt", opt_path, "--force_yml", "train:ema_decay=0.9"],
     )
     assert opt["train"]["ema_decay"] == 0.9
+
+
+def test_make_exp_dirs_archives_existing(tmp_path):
+    """A fresh (non-resume) run must not overwrite an existing experiment dir:
+    it is renamed to <name>_archived_<stamp> first (basicsr mkdir_and_rename
+    parity, ssr/train.py:41-45). Debug runs reuse the dir."""
+    import os
+
+    from satlas_sr_tpu.utils.options import make_exp_dirs
+
+    root = tmp_path / "exp" / "run1"
+    opt = {
+        "name": "run1", "is_train": True,
+        "path": {"experiments_root": str(root),
+                 "models": str(root / "models"),
+                 "training_states": str(root / "training_states"),
+                 "visualization": str(root / "visualization")},
+    }
+    make_exp_dirs(opt)
+    (root / "old_result.txt").write_text("precious")
+
+    make_exp_dirs(opt, archive_existing=True)
+    assert root.is_dir() and not (root / "old_result.txt").exists()
+    archived = [d for d in (tmp_path / "exp").iterdir()
+                if d.name.startswith("run1_archived_")]
+    assert len(archived) == 1
+    assert (archived[0] / "old_result.txt").read_text() == "precious"
+
+    # debug runs reuse the dir without archiving
+    opt["name"] = "debug_run1"
+    (root / "dbg.txt").write_text("x")
+    make_exp_dirs(opt, archive_existing=True)
+    assert (root / "dbg.txt").exists()

@@ -272,3 +272,48 @@ def test_train_step_dp_sp_matches_pure_dp():
         np.testing.assert_allclose(
             float(logs["dpsp"][key]), float(logs["dp"][key]),
             rtol=2e-4, atol=2e-5, err_msg=key)
+
+
+def test_halo_chunked_matches_whole_tile(tmp_path):
+    """Halo-padded chunked inference (VERDICT r2 next #8): pieces with a
+    real-context input halo, cropped to their interior and reassembled, must
+    match the whole-tile pass everywhere — seam-free at ~chunked cost. The
+    generator's contributions beyond the 8-px halo are sub-quantisation
+    (measured bit-exact on interior pieces), and border pieces are truncated
+    rather than zero-filled so the conv's own padding reproduces whole-tile
+    border behavior exactly."""
+    from satlas_sr_tpu.infer_grid import run_halo_tiles, run_whole_tile
+    from satlas_sr_tpu.utils.imgio import read_png
+
+    grid = 4  # 128x128 canvas
+    data_dir = tmp_path / "grid"
+    tile_dir = data_dir / "22_33"
+    tile_dir.mkdir(parents=True)
+    _write_tile(str(tile_dir), grid, n_frames=3, rng=np.random.RandomState(11))
+
+    net = {"type": "SSR_RRDBNet", "num_in_ch": 6, "num_out_ch": 3,
+           "scale": 4, "num_feat": 8, "num_block": 1, "num_grow_ch": 4}
+    base = {
+        "data_dir": str(data_dir), "scale": 4, "n_lr_images": 2,
+        "manual_seed": 5, "grid_size": grid, "network_g": net, "path": {},
+    }
+    assert run_whole_tile({**base, "whole_tile": True, "batch_size": 1,
+                           "save_path": str(tmp_path / "whole")}) == 1
+    assert run_halo_tiles({**base, "halo": 8, "halo_chunk": 64,
+                           "save_path": str(tmp_path / "halo")}) == 1
+
+    whole = read_png(str(tmp_path / "whole" / "22_33" / "stitched_sr.png"))
+    halo = read_png(str(tmp_path / "halo" / "22_33" / "stitched_sr.png"))
+    assert whole.shape == halo.shape == (512, 512, 3)
+    diff = np.abs(whole.astype(int) - halo.astype(int))
+
+    # bit-exact everywhere up to the 1-level jit-quantisation wobble (the
+    # sharded whole-tile engine and the batched piece engine fuse the final
+    # quantisation differently on a handful of pixels)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+    # previews identical between the two modes
+    np.testing.assert_array_equal(
+        read_png(str(tmp_path / "whole" / "22_33" / "stitched_s2.png")),
+        read_png(str(tmp_path / "halo" / "22_33" / "stitched_s2.png")))
