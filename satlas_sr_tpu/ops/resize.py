@@ -118,6 +118,22 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], antialias: bool = Fal
     if antialias and (oh < h or ow < w):
         return jax.image.resize(x, (n, oh, ow, c), method="linear", antialias=True)
     dtype = x.dtype
+    if dtype == jnp.bfloat16:
+        # bf16 compute path (e.g. the U-Net discriminator's three upsamples
+        # inside the GAN train step): integer-upscale half-pixel weights
+        # (0.25/0.75 for x2) are EXACT in bf16, and the MXU accumulates bf16
+        # matmuls in f32 — so a default-precision bf16 einsum matches the
+        # 6-pass f32 path to bf16 rounding while skipping the f32 converts
+        # the profile showed around every D resize. Orthogonal-parity tests
+        # run f32 and take the HIGHEST path below.
+        y = x
+        if oh != h:
+            y = jnp.einsum("oh,nhwc->nowc", _interp_matrix(oh, h).astype(dtype), y,
+                           preferred_element_type=jnp.float32)
+        if ow != w:
+            y = jnp.einsum("pw,nhwc->nhpc", _interp_matrix(ow, w).astype(dtype), y,
+                           preferred_element_type=jnp.float32)
+        return y.astype(dtype)
     xf = x.astype(jnp.float32)
     # Separable interpolation as two small exact matmuls (no spatial gathers).
     if oh != h:

@@ -85,7 +85,7 @@ def main():
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        iters = 5
+        iters = 10
         for i in range(iters):
             logs = model.train_iter(batch_np, 2 + i)
         jax.block_until_ready(logs)  # logs are lazy device scalars now
