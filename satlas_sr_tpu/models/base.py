@@ -367,6 +367,21 @@ class BaseModel:
         }
 
     def _log_validation_metrics(self, current_iter, dataset_name, tb_logger):
+        # machine-readable validation history rides the same metrics.jsonl as
+        # the train scalars (rows carry a val_dataset key) — log-file text is
+        # process-global and unreliable for tooling
+        log_dir = (self.opt.get("path") or {}).get("log")
+        if log_dir and is_main_process():
+            import json as _json
+
+            os.makedirs(log_dir, exist_ok=True)
+            with open(os.path.join(log_dir, "metrics.jsonl"), "a") as f:
+                f.write(_json.dumps({
+                    "iter": current_iter if isinstance(current_iter, int)
+                    else str(current_iter),
+                    "val_dataset": dataset_name,
+                    **{m: float(v) for m, v in self.metric_results.items()},
+                }) + "\n")
         msg = f"Validation [{dataset_name}]\n"
         for metric, value in self.metric_results.items():
             rec = self.best_metric_results[dataset_name][metric]

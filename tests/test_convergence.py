@@ -18,7 +18,6 @@ training (ssr/train.py:129-133); these are automated trend assertions.
 
 import json
 import os
-import re
 
 import numpy as np
 import yaml
@@ -204,9 +203,8 @@ def test_train_cli_smoke_metric_trend(tmp_path, rng):
     assert tail < 0.7 * head, (
         f"train loss not trending down over the CLI run: {head:.4f} -> {tail:.4f}")
 
-    logs = [p for p in os.listdir(exp) if p.endswith(".log")]
-    text = "\n".join(open(exp / p).read() for p in logs)
-    psnrs = [float(m) for m in re.findall(r"# psnr: ([0-9.]+)", text)]
+    # validation history rides metrics.jsonl too (rows with val_dataset)
+    psnrs = [r["psnr"] for r in rows if r.get("val_dataset") == "val"]
     assert len(psnrs) >= 2, f"expected >=2 validation evals, got {psnrs}"
     assert psnrs[-1] > psnrs[0] + 1.0, (
         f"validation PSNR did not rise: {psnrs}")
