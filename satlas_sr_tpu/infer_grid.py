@@ -161,49 +161,53 @@ def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
     return count
 
 
-def _halo_pieces(canvas: np.ndarray, piece: int, halo: int):
-    """Cut a [L, L, C] canvas into (L/piece)^2 pieces, each carrying up to
-    `halo` rows/cols of REAL neighbor context.
+def _window_starts(L: int, win: int, stride: int):
+    """Sliding-window start offsets covering [0, L), last window edge-aligned."""
+    if win >= L:
+        return [0]
+    starts = list(range(0, L - win + 1, stride))
+    if starts[-1] != L - win:
+        starts.append(L - win)
+    return starts
 
-    Pieces touching a tile border are SMALLER (no explicit fill): feeding
-    zero-filled halo pixels is not the same as the per-layer zero padding a
-    SAME conv applies — conv_first turns filled zeros into bias-colored
-    features that contaminate the crop (measured: halo-independent errors up
-    to ~190 uint8 levels) — while truncating the piece lets the conv's own
-    padding act at the true tile border exactly as the whole-tile pass does.
-    Interior pieces measure BIT-exact vs whole-tile at halo=8 already.
 
-    Returns [(array, oi, oj)] with (oi, oj) the LR crop offsets of the piece
-    interior inside the network output.
-    """
-    L = canvas.shape[0]
-    out = []
-    for i0 in range(0, L, piece):
-        for j0 in range(0, L, piece):
-            si, sj = max(0, i0 - halo), max(0, j0 - halo)
-            ei, ej = min(L, i0 + piece + halo), min(L, j0 + piece + halo)
-            out.append((canvas[si:ei, sj:ej], i0 - si, j0 - sj))
-    return out
+def _responsibility(starts, win: int, L: int):
+    """[(lo, hi)] output rows each window owns: overlap midpoints, edges to
+    the tile border. Consecutive windows at stride = win - 2*halo meet at
+    exactly halo pixels inside each window — every owned pixel has >= halo
+    rows of real context on every non-border side."""
+    bounds = [0]
+    for a, b in zip(starts, starts[1:]):
+        bounds.append((a + win + b) // 2)
+    bounds.append(L)
+    return list(zip(bounds[:-1], bounds[1:]))
 
 
 def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
-    """Seam-free chunked inference at ~chunked throughput (VERDICT r2 next #8).
+    """Seam-free chunked inference via overlapping 32x32 windows
+    (VERDICT r2 next #8).
 
-    Whole-tile mode is seamless but costs ~3.5x (one giant program streams
-    feature maps through VMEM). This mode splits each assembled tile into
-    `halo_chunk`-sized pieces with a `halo`-pixel input overlap of REAL
-    neighbor data, crops each SR output back to the piece interior, and
-    reassembles. Pixels further than the generator's effective receptive
-    field from a piece edge are identical to the whole-tile pass (halo=8
-    measures bit-exact on RRDBNet), and the overlap overhead is
-    (1 + 2*halo/halo_chunk)^2 (halo=8, chunk=256 -> 13%). Border pieces are
-    smaller rather than padded (see _halo_pieces), giving at most 4 compiled
-    shapes. Outputs stitched_{sr,s2}.png per tile like whole-tile mode; the
-    reference's seam artifact (zero-pad context at every interior 32x32 chunk
-    edge, ssr/infer_grid.py:70-85) does not occur.
+    Measured on v5e (scripts/halo_bench.py, device time): the XLA conv
+    emitter runs [*, 32, 32, C] batches ~2-3x faster per pixel than ANY other
+    spatial extent (32*32 = 8*128 fills the vector tiling exactly) — large
+    halo pieces (64..512 px) all land at 18-33% of chunked throughput, the
+    same regime as whole-tile's 30%. The fastest seam-free decomposition is
+    therefore sliding windows of the SAME 32x32 shape as chunked inference,
+    overlapped by 2*halo pixels: window count (32/(32-2*halo))^2 = 1.78x at
+    halo=4 => ~56% of chunked, ~2x whole-tile mode. halo=4 is the quality
+    floor (receptive-field tail: halo 4 measures <=1 uint8 level on ~1e-5 of
+    pixels vs whole-tile; halo 3 reaches 5 levels, halo 2 is visibly wrong).
 
-    4-D (frame-stacked conv) families only — the 5-D models bake output_size
-    into the head; use whole_tile mode for those.
+    Each output pixel is owned by the window where it has >= halo context on
+    every non-border side (overlap midpoints); windows at the tile border are
+    edge-aligned so the conv's own zero padding applies there exactly as in a
+    whole-tile pass (explicit zero-fill would bias-contaminate instead —
+    measured ~190-level errors). Outputs stitched_{sr,s2}.png per tile; the
+    reference's seam artifact (zero-pad context at every interior chunk edge,
+    ssr/infer_grid.py:70-85) does not occur.
+
+    `halo` (default 4) and `halo_window` (default 32) are configurable; 4-D
+    (frame-stacked conv) families only — use whole_tile for 5-D models.
     """
     from .utils.model_utils import uses_3d_input
 
@@ -213,13 +217,13 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
     seed = int(opt.get("manual_seed", 0) or 0)
     grid_size = int(opt.get("grid_size", 16))
     scale = int(opt.get("scale", 4))
-    halo = int(opt.get("halo", 8))
+    halo = int(opt.get("halo", 4))
+    if halo is True:
+        halo = 4
     L = grid_size * 32
-    piece = min(int(opt.get("halo_chunk", 256)), L)
-    if L % piece:
-        raise ValueError(f"halo_chunk={piece} must divide the tile size {L}")
-    per_tile = (L // piece) ** 2
-    n_side = L // piece
+    win = min(int(opt.get("halo_window", 32)), L)
+    if win <= 2 * halo:
+        raise ValueError(f"halo_window={win} must exceed 2*halo={2 * halo}")
 
     if uses_3d_input(opt["network_g"]["type"]):
         raise ValueError(
@@ -227,8 +231,12 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
             "use whole_tile: true for the 5-D (use_3d) models")
     model = build_network(opt)
     variables = load_infer_variables(opt, model, n_lr_images, use_3d=False)
+
+    starts = _window_starts(L, win, win - 2 * halo)
+    owns = _responsibility(starts, win, L)
+    n_win = len(starts) ** 2
     engine = InferenceEngine(
-        model, variables, batch_size=int(opt.get("batch_size", per_tile)),
+        model, variables, batch_size=int(opt.get("batch_size", min(256, n_win))),
         use_3d=False, n_frames=n_lr_images,
         matmul_precision=str(opt.get("matmul_precision", "highest")),
     )
@@ -249,11 +257,11 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
         n_total = len(tiles)
         tiles = [tiles[i] for i in shard_contiguous(n_total, rank, world)]
         print(f"Process {rank}/{world}: halo inference on {len(tiles)} of "
-              f"{n_total} tiles (halo={halo}, chunk={piece}, "
-              f"batch={engine.batch_size}).")
+              f"{n_total} tiles (halo={halo}, window={win}, "
+              f"{n_win} windows/tile, batch={engine.batch_size}).")
     else:
         print(f"Halo inference on {len(tiles)} tiles (halo={halo}, "
-              f"chunk={piece}, batch={engine.batch_size}).")
+              f"window={win}, {n_win} windows/tile, batch={engine.batch_size}).")
 
     import glob as _glob
     from concurrent.futures import ThreadPoolExecutor
@@ -266,38 +274,47 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 1))
     writer = BoundedWriter(pool, max_pending=8)
+    previews: list = []
+
+    coords = [(si, sj) for si in starts for sj in starts]
 
     def assemble(tile):
         canvas, preview = assemble_tile(os.path.join(data_dir, tile),
                                         n_lr_images, seed, grid_size,
                                         index_map=index_map)
-        return _halo_pieces(canvas, piece, halo), preview
+        return np.stack([canvas[si:si + win, sj:sj + win]
+                         for si, sj in coords]), preview
+
+    def produce():
+        for windows, preview in prefetch_map(pool, assemble, tiles, depth=3):
+            previews.append(preview)
+            for k in range(0, n_win, engine.batch_size):
+                yield windows[k:k + engine.batch_size]
 
     count = 0
     s = scale
-    for pieces, preview in prefetch_map(pool, assemble, tiles, depth=3):
-        # group same-shape pieces (<=4 shapes: corner/edge-h/edge-w/interior)
-        # so each group rides one statically-shaped engine batch
-        groups: dict = {}
-        for k, (arr, oi, oj) in enumerate(pieces):
-            groups.setdefault(arr.shape, []).append((k, arr, oi, oj))
-        sr_canvas = np.empty((L * s, L * s, 3), np.uint8)
-        slices = [grp[gi:gi + engine.batch_size] for grp in groups.values()
-                  for gi in range(0, len(grp), engine.batch_size)]
-        for items in slices:
-            outs = engine.run(np.stack([arr for _, arr, _, _ in items]))
-            for (k, _, oi, oj), o in zip(items, outs):
-                i0, j0 = divmod(k, n_side)
-                sr_canvas[i0 * piece * s:(i0 + 1) * piece * s,
-                          j0 * piece * s:(j0 + 1) * piece * s] = \
-                    o[oi * s:oi * s + piece * s, oj * s:oj * s + piece * s]
-        tile = tiles[count]
-        out_dir = os.path.join(save_path, tile)
-        writer.submit(write_png, os.path.join(out_dir, "stitched_sr.png"),
-                      sr_canvas)
-        writer.submit(write_png, os.path.join(out_dir, "stitched_s2.png"),
-                      preview)
-        count += 1
+    sr_canvas = None
+    placed = 0
+    n_side = len(starts)
+    for outputs in engine.run_many(produce()):
+        for out in outputs:
+            if sr_canvas is None:
+                sr_canvas = np.empty((L * s, L * s, 3), np.uint8)
+            wi, wj = divmod(placed, n_side)
+            si, sj = starts[wi], starts[wj]
+            (ri0, ri1), (rj0, rj1) = owns[wi], owns[wj]
+            sr_canvas[ri0 * s:ri1 * s, rj0 * s:rj1 * s] = \
+                out[(ri0 - si) * s:(ri1 - si) * s, (rj0 - sj) * s:(rj1 - sj) * s]
+            placed += 1
+            if placed == n_win:
+                tile = tiles[count]
+                out_dir = os.path.join(save_path, tile)
+                writer.submit(write_png, os.path.join(out_dir, "stitched_sr.png"),
+                              sr_canvas)
+                writer.submit(write_png, os.path.join(out_dir, "stitched_s2.png"),
+                              previews[count])
+                count += 1
+                sr_canvas, placed = None, 0
     writer.drain()
     pool.shutdown(wait=True)
     print(f"Done: {count} tiles (halo mode).")

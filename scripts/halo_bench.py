@@ -26,12 +26,9 @@ def main():
     import jax
 
     from satlas_sr_tpu.inference import InferenceEngine
-    from satlas_sr_tpu.infer_grid import _halo_pieces
     from satlas_sr_tpu.utils.model_utils import build_network
     from satlas_sr_tpu.infer import load_infer_variables
 
-    halo = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    piece = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     n_tiles = 8
 
     opt = {
@@ -46,41 +43,104 @@ def main():
     canvases = [rng.randint(0, 256, (512, 512, 24)).astype(np.uint8)
                 for _ in range(n_tiles)]
 
+    reps = int(os.environ.get("HALO_BENCH_REPS", "6"))
+
+    def device_time(engine, batches):
+        """Steady-state DEVICE time for one pass over `batches` (inputs made
+        device-resident first, best-of-reps): the host/tunnel transfer side is
+        identical infrastructure for both modes, and the hosted tunnel's
+        bandwidth varies run-to-run, so the 15%-of-chunked criterion is judged
+        on device compute like bench.py's headline."""
+        devs = [engine._put(b) for b in batches]
+        for d in devs:
+            engine._run(engine.variables, d).block_until_ready()  # compile
+        # the tunnel pipelines dispatches deeply and lies on short loops
+        # (BENCH_NOTES measurement caveat) — keep >=10 s of device work per
+        # trial, bench.py-style: same resident inputs, block the last output
+        inner = max(1, int(10.0 / (0.09 * len(batches))))
+        import jax.numpy as jnp
+
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(inner):
+                for d in devs:
+                    y = engine._run(engine.variables, d)
+            # block_until_ready proved unreliable through the tunnel for this
+            # call pattern (returned in ms for ~10 s of device work); fetching
+            # a device-computed scalar cannot lie, and the single device
+            # stream executes in order so the last output completing implies
+            # all of them did
+            float(jnp.max(y.astype(jnp.float32)))
+            best = min(best, (time.perf_counter() - t0) / inner)
+        return best
+
     # -- chunked baseline: 256 chunks/tile at batch 256
     eng_c = InferenceEngine(model, variables, batch_size=256,
-                            matmul_precision="default")
+                            matmul_precision="default", use_mesh=False)
     chunks = [c.reshape(16, 32, 16, 32, 24).transpose(0, 2, 1, 3, 4)
               .reshape(256, 32, 32, 24) for c in canvases]
-    eng_c.run(chunks[0])  # compile
-    t0 = time.perf_counter()
-    for _ in range(3):
-        for ch in chunks:
-            y = eng_c.run(ch)
-    dt = time.perf_counter() - t0
-    chunked_tps = 3 * n_tiles / dt
-    print(f"chunked: {chunked_tps:.2f} tiles/s ({chunked_tps * 16:.0f} chunk-img/s)")
+    dt = device_time(eng_c, chunks)
+    chunked_tps = n_tiles / dt
+    print(f"chunked: {chunked_tps:.3f} 2048-tiles/s "
+          f"({chunked_tps * 256:.0f} chunk-img/s)", flush=True)
 
-    # -- halo mode: per-tile shape-grouped piece batches
-    n_side = 512 // piece
-    eng_h = InferenceEngine(model, variables, batch_size=n_side * n_side,
-                            matmul_precision="default")
-    tile_groups = []
-    for c in canvases:
+    def cut(canvas, ph, pw, h):
+        L = canvas.shape[0]
+        out = []
+        for i0 in range(0, L, ph):
+            for j0 in range(0, L, pw):
+                si, sj = max(0, i0 - h), max(0, j0 - h)
+                ei, ej = min(L, i0 + ph + h), min(L, j0 + pw + h)
+                out.append(canvas[si:ei, sj:ej])
+        return out
+
+    # production halo mode: sliding 32x32 windows, stride 32-2*halo —
+    # the SAME shape as chunked, so the per-pixel rate holds; overhead is
+    # only the window-count ratio ((32/(32-2h))^2 = 1.78x at h=4)
+    from satlas_sr_tpu.infer_grid import _window_starts
+
+    for h in (4, 2):
+        starts = _window_starts(512, 32, 32 - 2 * h)
+        wins = []
+        for c in canvases:
+            for si in starts:
+                for sj in starts:
+                    wins.append(c[si:si + 32, sj:sj + 32])
+        eng_w = InferenceEngine(model, variables, batch_size=256,
+                                matmul_precision="default", use_mesh=False)
+        batches = [np.stack(wins[k:k + 256]) for k in range(0, len(wins), 256)]
+        dt = device_time(eng_w, batches)
+        tps = n_tiles / dt
+        print(f"halo sliding-32 h={h} ({len(starts) ** 2} win/tile): "
+              f"{tps:.3f} 2048-tiles/s = {100 * tps / chunked_tps:.1f}% of chunked",
+              flush=True)
+
+    # sweep: square pieces and full-width row strips, two halo widths.
+    # Pieces are grouped by SHAPE ACROSS tiles before batching — per-tile
+    # groups are small (4 corners, ...) and padding them to the engine batch
+    # wastes multiples of the real work (the first sweep's mistake).
+    for ph, pw, h in [(32, 32, 4), (32, 32, 2), (64, 64, 4)]:
+        per_tile = (512 // ph) * (512 // pw)
+        bs = min(64, per_tile * n_tiles)
+        eng = InferenceEngine(model, variables, batch_size=bs,
+                              matmul_precision="default", use_mesh=False)
         groups = {}
-        for k, (arr, oi, oj) in enumerate(_halo_pieces(c, piece, halo)):
-            groups.setdefault(arr.shape, []).append(arr)
-        tile_groups.append([np.stack(v) for v in groups.values()])
-    for g in tile_groups[0]:
-        eng_h.run(g)  # compile each shape
-    t0 = time.perf_counter()
-    for _ in range(3):
-        for gs in tile_groups:
-            for g in gs:
-                y = eng_h.run(g)
-    dt = time.perf_counter() - t0
-    halo_tps = 3 * n_tiles / dt
-    print(f"halo (h={halo}, piece={piece}): {halo_tps:.2f} tiles/s "
-          f"= {100 * halo_tps / chunked_tps:.1f}% of chunked")
+        for c in canvases:
+            for arr in cut(c, ph, pw, h):
+                groups.setdefault(arr.shape, []).append(arr)
+        batches = []
+        for v in groups.values():
+            for k in range(0, len(v), eng.batch_size):
+                batches.append(np.stack(v[k:k + eng.batch_size]))
+        n_fwd = sum(((len(v) + eng.batch_size - 1) // eng.batch_size) * eng.batch_size
+                    for v in groups.values())
+        dt = device_time(eng, batches)
+        tps = n_tiles / dt
+        print(f"halo piece={ph}x{pw} h={h}: {tps:.3f} 2048-tiles/s "
+              f"= {100 * tps / chunked_tps:.1f}% of chunked "
+              f"(pad waste {n_fwd / (per_tile * n_tiles):.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

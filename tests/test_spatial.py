@@ -299,7 +299,8 @@ def test_halo_chunked_matches_whole_tile(tmp_path):
     }
     assert run_whole_tile({**base, "whole_tile": True, "batch_size": 1,
                            "save_path": str(tmp_path / "whole")}) == 1
-    assert run_halo_tiles({**base, "halo": 8, "halo_chunk": 64,
+    # default config: sliding 32x32 windows, stride 24 (halo 4)
+    assert run_halo_tiles({**base, "halo": 4,
                            "save_path": str(tmp_path / "halo")}) == 1
 
     whole = read_png(str(tmp_path / "whole" / "22_33" / "stitched_sr.png"))
