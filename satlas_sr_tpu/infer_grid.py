@@ -67,6 +67,46 @@ def default_spatial_shards(rows: int) -> int:
     return spatial
 
 
+def _discover_tiles(data_dir: str, grid_size: int, rank: int, world: int,
+                    mode: str, detail: str):
+    """Tile dirs with a full chunk grid, contiguously sharded over processes.
+
+    Shared by whole-tile and halo modes so filtering/sharding cannot diverge
+    between them."""
+    tiles = []
+    for tile in sorted(os.listdir(data_dir)):
+        tile_dir = os.path.join(data_dir, tile)
+        if not os.path.isdir(tile_dir):
+            continue
+        if len(os.listdir(tile_dir)) < grid_size * grid_size:
+            print(f"Tile {tile} contains less than {grid_size * grid_size} "
+                  "chunks, cannot super-resolve whole. Skipping.")
+            continue
+        tiles.append(tile)
+    if world > 1:
+        from .infer import shard_contiguous
+
+        n_total = len(tiles)
+        tiles = [tiles[i] for i in shard_contiguous(n_total, rank, world)]
+        print(f"Process {rank}/{world}: {mode} inference on {len(tiles)} of "
+              f"{n_total} tiles ({detail}).")
+    else:
+        print(f"{mode} inference on {len(tiles)} tiles ({detail}).")
+    return tiles
+
+
+def _build_index_map(data_dir: str):
+    """path -> global corpus index over the sorted recursive png glob.
+
+    Frame selection must match chunked mode exactly: run_inference seeds each
+    chunk's RNG by this index, and BOTH seam-free modes must reproduce it."""
+    import glob as _glob
+
+    all_pngs = sorted(_glob.glob(os.path.join(data_dir, "**", "*.png"),
+                                 recursive=True))
+    return {p: i for i, p in enumerate(all_pngs)}
+
+
 def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
     """One generator pass per WHOLE tile, spatially sharded over the mesh."""
     from .utils.model_utils import uses_3d_input
@@ -96,40 +136,15 @@ def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
         spatial_shards=spatial,
     )
 
-    tiles = []
-    for tile in sorted(os.listdir(data_dir)):
-        tile_dir = os.path.join(data_dir, tile)
-        if not os.path.isdir(tile_dir):
-            continue
-        if len(os.listdir(tile_dir)) < grid_size * grid_size:
-            print(f"Tile {tile} contains less than {grid_size * grid_size} "
-                  "chunks, cannot super-resolve whole. Skipping.")
-            continue
-        tiles.append(tile)
-    if world > 1:
-        from .infer import shard_contiguous
-
-        n_total = len(tiles)
-        tiles = [tiles[i] for i in shard_contiguous(n_total, rank, world)]
-        print(f"Process {rank}/{world}: whole-tile inference on {len(tiles)} "
-              f"of {n_total} tiles (spatial_shards={spatial}, "
-              f"batch={engine.batch_size}).")
-    else:
-        print(f"Whole-tile inference on {len(tiles)} tiles "
-              f"(spatial_shards={spatial}, batch={engine.batch_size}).")
+    tiles = _discover_tiles(
+        data_dir, grid_size, rank, world, "Whole-tile",
+        f"spatial_shards={spatial}, batch={engine.batch_size}")
 
     from concurrent.futures import ThreadPoolExecutor
 
     from .inference import BoundedWriter, batched, prefetch_map
 
-    # frame selection must match chunked mode exactly: the chunked path seeds
-    # each chunk's RNG by its GLOBAL index in the sorted recursive glob
-    # (run_inference), so build the same index here
-    import glob as _glob
-
-    all_pngs = sorted(_glob.glob(os.path.join(data_dir, "**", "*.png"),
-                                 recursive=True))
-    index_map = {p: i for i, p in enumerate(all_pngs)}
+    index_map = _build_index_map(data_dir)
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 1))
     writer = BoundedWriter(pool, max_pending=8)
@@ -155,6 +170,7 @@ def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
                           os.path.join(out_dir, "stitched_s2.png"),
                           previews[gi][k])
             count += 1
+        previews[gi] = None  # release; the writer future holds its own ref
     writer.drain()
     pool.shutdown(wait=True)
     print(f"Done: {count} whole tiles.")
@@ -217,9 +233,11 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
     seed = int(opt.get("manual_seed", 0) or 0)
     grid_size = int(opt.get("grid_size", 16))
     scale = int(opt.get("scale", 4))
-    halo = int(opt.get("halo", 4))
-    if halo is True:
-        halo = 4
+    halo = opt.get("halo", 4)
+    # `halo: true` in YAML (by analogy with `whole_tile: true`) means "use
+    # the default width" — int(True) would silently run halo=1, below the
+    # quality floor
+    halo = 4 if halo is True else int(halo)
     L = grid_size * 32
     win = min(int(opt.get("halo_window", 32)), L)
     if win <= 2 * halo:
@@ -241,36 +259,16 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
         matmul_precision=str(opt.get("matmul_precision", "highest")),
     )
 
-    tiles = []
-    for tile in sorted(os.listdir(data_dir)):
-        tile_dir = os.path.join(data_dir, tile)
-        if not os.path.isdir(tile_dir):
-            continue
-        if len(os.listdir(tile_dir)) < grid_size * grid_size:
-            print(f"Tile {tile} contains less than {grid_size * grid_size} "
-                  "chunks, cannot super-resolve whole. Skipping.")
-            continue
-        tiles.append(tile)
-    if world > 1:
-        from .infer import shard_contiguous
+    tiles = _discover_tiles(
+        data_dir, grid_size, rank, world, "Halo",
+        f"halo={halo}, window={win}, {n_win} windows/tile, "
+        f"batch={engine.batch_size}")
 
-        n_total = len(tiles)
-        tiles = [tiles[i] for i in shard_contiguous(n_total, rank, world)]
-        print(f"Process {rank}/{world}: halo inference on {len(tiles)} of "
-              f"{n_total} tiles (halo={halo}, window={win}, "
-              f"{n_win} windows/tile, batch={engine.batch_size}).")
-    else:
-        print(f"Halo inference on {len(tiles)} tiles (halo={halo}, "
-              f"window={win}, {n_win} windows/tile, batch={engine.batch_size}).")
-
-    import glob as _glob
     from concurrent.futures import ThreadPoolExecutor
 
     from .inference import BoundedWriter, prefetch_map
 
-    all_pngs = sorted(_glob.glob(os.path.join(data_dir, "**", "*.png"),
-                                 recursive=True))
-    index_map = {p: i for i, p in enumerate(all_pngs)}
+    index_map = _build_index_map(data_dir)
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 1))
     writer = BoundedWriter(pool, max_pending=8)
@@ -313,6 +311,7 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
                               sr_canvas)
                 writer.submit(write_png, os.path.join(out_dir, "stitched_s2.png"),
                               previews[count])
+                previews[count] = None  # release; writer future holds its ref
                 count += 1
                 sr_canvas, placed = None, 0
     writer.drain()

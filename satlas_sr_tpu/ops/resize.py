@@ -118,14 +118,19 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], antialias: bool = Fal
     if antialias and (oh < h or ow < w):
         return jax.image.resize(x, (n, oh, ow, c), method="linear", antialias=True)
     dtype = x.dtype
-    if dtype == jnp.bfloat16:
+
+    def _pow2_upscale(o, i):
+        return o % i == 0 and ((o // i) & (o // i - 1)) == 0
+
+    if dtype == jnp.bfloat16 and _pow2_upscale(oh, h) and _pow2_upscale(ow, w):
         # bf16 compute path (e.g. the U-Net discriminator's three upsamples
-        # inside the GAN train step): integer-upscale half-pixel weights
-        # (0.25/0.75 for x2) are EXACT in bf16, and the MXU accumulates bf16
-        # matmuls in f32 — so a default-precision bf16 einsum matches the
-        # 6-pass f32 path to bf16 rounding while skipping the f32 converts
-        # the profile showed around every D resize. Orthogonal-parity tests
-        # run f32 and take the HIGHEST path below.
+        # inside the GAN train step): power-of-two-upscale half-pixel weights
+        # (0.25/0.75 for x2; eighths for x4...) are EXACT in bf16, and the
+        # MXU accumulates bf16 matmuls in f32 — so a default-precision bf16
+        # einsum matches the 6-pass f32 path to bf16 rounding while skipping
+        # the f32 converts the profile showed around every D resize.
+        # Non-dyadic ratios (flow resizes, SRCNN heads) keep the exact-f32
+        # path below regardless of dtype; parity tests run f32.
         y = x
         if oh != h:
             y = jnp.einsum("oh,nhwc->nowc", _interp_matrix(oh, h).astype(dtype), y,

@@ -162,10 +162,16 @@ def train_pipeline(root_path: str, argv=None) -> None:
     world_size = int(opt.get("world_size", 1) or 1)
     # Collective stop polls are a blocking cross-host allgather; doing one at
     # EVERY iteration would serialize the async step-dispatch pipeline
-    # (ADVICE r2). Preemption notice windows are tens of seconds, so poll on
-    # the print_freq cadence capped at 50 iters (~seconds of latency).
-    stop_poll_every = 1 if world_size <= 1 else max(
+    # (ADVICE r2). Preemption notice windows are tens of seconds, so the
+    # poll gap must be bounded in WALL TIME (~10 s), not just iterations —
+    # heavy accumulation steps at print_freq cadence could otherwise hold a
+    # SIGTERM past the eviction deadline. All ranks derive the gap from
+    # rank 0's step time (shipped inside the poll payload), keeping the
+    # decision points identical across ranks so the collectives stay in
+    # lockstep.
+    stop_poll_cap = 1 if world_size <= 1 else max(
         1, min(int(opt["logger"].get("print_freq", 100)), 50))
+    _poll = {"next": 0, "last_t": time.time(), "last_it": 0}
 
     def stop_requested(it: int) -> bool:
         """Collective stop decision. With >1 process the local flag is summed
@@ -176,13 +182,20 @@ def train_pipeline(root_path: str, argv=None) -> None:
         that saves (rank 0)."""
         if world_size <= 1:
             return bool(stop_signals)
-        if it % stop_poll_every:
+        if it < _poll["next"]:
             return False  # local flag held until the next collective poll
         import numpy as _np
         from jax.experimental import multihost_utils
 
-        flags = multihost_utils.process_allgather(_np.int32(bool(stop_signals)))
-        return bool(_np.asarray(flags).sum())
+        now = time.time()
+        secs_per_iter = (now - _poll["last_t"]) / max(it - _poll["last_it"], 1)
+        payload = _np.asarray([float(bool(stop_signals)), secs_per_iter],
+                              _np.float32)
+        gathered = _np.asarray(multihost_utils.process_allgather(payload))
+        _poll["last_t"], _poll["last_it"] = now, it
+        r0_secs = max(float(gathered[0, 1]), 1e-3)  # rank 0's measurement
+        _poll["next"] = it + int(_np.clip(10.0 / r0_secs, 1, stop_poll_cap))
+        return bool(gathered[:, 0].sum())
 
     preempted = False
     train_iter_stream = iter(train_loader)

@@ -175,10 +175,10 @@ def make_exp_dirs(opt: Dict[str, Any], archive_existing: bool = False) -> None:
     path_opt = opt["path"]
     if opt.get("is_train"):
         root = path_opt["experiments_root"]
-        if archive_existing and os.path.isdir(root) and "debug" not in opt["name"]:
+        if archive_existing and "debug" not in opt["name"]:
             import jax
 
-            if jax.process_index() == 0:
+            if jax.process_index() == 0 and os.path.isdir(root):
                 stamp = time.strftime("%Y%m%d_%H%M%S")
                 archived = f"{root}_archived_{stamp}"
                 if os.path.exists(archived):  # same-second rerun (tests)
@@ -186,6 +186,13 @@ def make_exp_dirs(opt: Dict[str, Any], archive_existing: bool = False) -> None:
                 print(f"Experiment dir {root} exists — archiving to {archived}",
                       flush=True)
                 os.rename(root, archived)
+            if jax.process_count() > 1:
+                # peers must not makedirs before (or during) rank 0's rename:
+                # a peer-created tree would be archived as if it were old
+                # results, or renamed out from under a concurrent makedirs
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("exp_dir_archive")
         for key in ("experiments_root", "models", "training_states", "visualization"):
             os.makedirs(path_opt[key], exist_ok=True)
     else:
