@@ -92,8 +92,20 @@ def warmup_infer(opt: dict) -> None:
     use_3d = uses_3d_input(opt["network_g"]["type"])
     whole = bool(opt.get("whole_tile"))
     grid_size = int(opt.get("grid_size", 16))
-    size = grid_size * 32 if whole else 32
-    batch_size = int(opt.get("batch_size", 1 if whole else 64))
+    if opt.get("halo") and not whole:
+        # halo mode runs sliding windows of halo_window (default 32) at
+        # batch min(256, windows/tile) — warm THAT shape
+        from .infer_grid import _window_starts
+
+        halo = opt.get("halo", 4)
+        halo = 4 if halo is True else int(halo)
+        L = grid_size * 32
+        size = min(int(opt.get("halo_window", 32)), L)
+        n_win = len(_window_starts(L, size, size - 2 * halo)) ** 2
+        batch_size = int(opt.get("batch_size", min(256, n_win)))
+    else:
+        size = grid_size * 32 if whole else 32
+        batch_size = int(opt.get("batch_size", 1 if whole else 64))
 
     spatial = int(opt.get("spatial_shards", 0))
     if whole and spatial <= 0:
@@ -121,7 +133,8 @@ def warmup_infer(opt: dict) -> None:
     else:
         x = np.zeros((rows, size, size, n_lr_images * 3), np.uint8)
     engine.run(x)
-    mode = "whole-tile" if whole else "chunked"
+    mode = ("whole-tile" if whole
+            else "halo" if opt.get("halo") else "chunked")
     print(f"[warmup] {mode} inference (batch {rows}, {size}x{size}): "
           f"compiled+ran in {time.time() - t0:.1f}s")
 

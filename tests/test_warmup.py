@@ -147,3 +147,28 @@ def test_warmup_forwards_force_yml(tmp_path, capsys):
     out = capsys.readouterr().out
     # 3 per device x 8 virtual devices = 24 rows
     assert "train step (24 rows)" in out
+
+
+def test_warmup_halo_config(tmp_path, capsys):
+    """halo infer warmup compiles the sliding-window program at the SAME
+    shape run_halo_tiles will use (32x32 windows, min(256, windows/tile))."""
+    from satlas_sr_tpu.warmup import main
+
+    opt = {
+        "data_dir": str(tmp_path / "none"),
+        "save_path": str(tmp_path / "out"),
+        "n_lr_images": 2,
+        "halo": True,   # YAML shorthand for the default width (4)
+        "grid_size": 4,  # 128px tile -> 5x5=25 windows
+        "scale": 4,
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": 6, "num_out_ch": 3,
+                      "num_feat": 8, "num_block": 1, "num_grow_ch": 4},
+        "path": {},
+    }
+    opt_path = tmp_path / "halo.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+
+    main(["-opt", str(opt_path)])
+    out = capsys.readouterr().out
+    assert "halo inference" in out and "32x32" in out
