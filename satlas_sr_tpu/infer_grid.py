@@ -209,10 +209,12 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
     halo pieces (64..512 px) all land at 18-33% of chunked throughput, the
     same regime as whole-tile's 30%. The fastest seam-free decomposition is
     therefore sliding windows of the SAME 32x32 shape as chunked inference,
-    overlapped by 2*halo pixels: window count (32/(32-2*halo))^2 = 1.78x at
-    halo=4 => ~56% of chunked, ~2x whole-tile mode. halo=4 is the quality
-    floor (receptive-field tail: halo 4 measures <=1 uint8 level on ~1e-5 of
-    pixels vs whole-tile; halo 3 reaches 5 levels, halo 2 is visibly wrong).
+    overlapped by 2*halo pixels. Quality floor is per-NET (receptive-field
+    tail): on the production 23-block RRDBNet, halo=6 measures <=1 uint8
+    level on ~3e-5 of pixels vs whole-tile (bit-clean) at 40% of chunked
+    throughput, while halo=4 reaches 8 levels on 0.25% of pixels at 57%.
+    The default is the bit-clean 6; set `halo: 4` to trade the last bit of
+    fidelity for 1.4x speed (tiny test nets measure <=1 level at 4).
 
     Each output pixel is owned by the window where it has >= halo context on
     every non-border side (overlap midpoints); windows at the tile border are
@@ -222,7 +224,7 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
     reference's seam artifact (zero-pad context at every interior chunk edge,
     ssr/infer_grid.py:70-85) does not occur.
 
-    `halo` (default 4) and `halo_window` (default 32) are configurable; 4-D
+    `halo` (default 6) and `halo_window` (default 32) are configurable; 4-D
     (frame-stacked conv) families only — use whole_tile for 5-D models.
     """
     from .utils.model_utils import uses_3d_input
@@ -233,11 +235,11 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
     seed = int(opt.get("manual_seed", 0) or 0)
     grid_size = int(opt.get("grid_size", 16))
     scale = int(opt.get("scale", 4))
-    halo = opt.get("halo", 4)
+    halo = opt.get("halo", 6)
     # `halo: true` in YAML (by analogy with `whole_tile: true`) means "use
     # the default width" — int(True) would silently run halo=1, below the
     # quality floor
-    halo = 4 if halo is True else int(halo)
+    halo = 6 if halo is True else int(halo)
     L = grid_size * 32
     win = min(int(opt.get("halo_window", 32)), L)
     if win <= 2 * halo:

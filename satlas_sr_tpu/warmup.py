@@ -97,8 +97,8 @@ def warmup_infer(opt: dict) -> None:
         # batch min(256, windows/tile) — warm THAT shape
         from .infer_grid import _window_starts
 
-        halo = opt.get("halo", 4)
-        halo = 4 if halo is True else int(halo)
+        halo = opt.get("halo", 6)
+        halo = 6 if halo is True else int(halo)
         L = grid_size * 32
         size = min(int(opt.get("halo_window", 32)), L)
         n_win = len(_window_starts(L, size, size - 2 * halo)) ** 2
