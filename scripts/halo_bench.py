@@ -101,7 +101,7 @@ def main():
     # only the window-count ratio ((32/(32-2h))^2 = 1.78x at h=4)
     from satlas_sr_tpu.infer_grid import _window_starts
 
-    for h in (4, 2):
+    for h in (6, 4):
         starts = _window_starts(512, 32, 32 - 2 * h)
         wins = []
         for c in canvases:
@@ -121,7 +121,7 @@ def main():
     # Pieces are grouped by SHAPE ACROSS tiles before batching — per-tile
     # groups are small (4 corners, ...) and padding them to the engine batch
     # wastes multiples of the real work (the first sweep's mistake).
-    for ph, pw, h in [(32, 32, 4), (32, 32, 2), (64, 64, 4)]:
+    for ph, pw, h in []:
         per_tile = (512 // ph) * (512 // pw)
         bs = min(64, per_tile * n_tiles)
         eng = InferenceEngine(model, variables, batch_size=bs,
