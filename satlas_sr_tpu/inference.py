@@ -118,6 +118,22 @@ class InferenceEngine:
         y = self._run(self.variables, self._put(batch_np))
         return np.asarray(y)[:n]
 
+    def dispatch(self, batch_np: np.ndarray):
+        """Asynchronously enqueue a batch; returns an opaque in-flight handle.
+
+        device_put and the jitted call return immediately (JAX async
+        dispatch); pair with `fetch` from another thread to overlap transfer,
+        compute and result readback — the serving daemon's pipeline
+        (satlas_sr_tpu/serve.py) and run_many both ride this.
+        """
+        n = batch_np.shape[0]
+        return n, self._run(self.variables, self._put(batch_np))
+
+    def fetch(self, handle) -> np.ndarray:
+        """Block for a `dispatch` handle's result; strips the batch padding."""
+        n, y = handle
+        return np.asarray(y)[:n]
+
     def run_many(self, batches: Iterable[np.ndarray], depth: int = 3) -> Iterable[np.ndarray]:
         """Pipelined execution: up to `depth` batches in flight.
 
@@ -129,16 +145,13 @@ class InferenceEngine:
         """
         from collections import deque
 
-        pending: deque = deque()  # (n, device_result)
+        pending: deque = deque()  # dispatch handles
         for b in batches:
-            n = b.shape[0]
-            pending.append((n, self._run(self.variables, self._put(b))))
+            pending.append(self.dispatch(b))
             if len(pending) >= max(1, depth):
-                pn, py = pending.popleft()
-                yield np.asarray(py)[:pn]
+                yield self.fetch(pending.popleft())
         while pending:
-            pn, py = pending.popleft()
-            yield np.asarray(py)[:pn]
+            yield self.fetch(pending.popleft())
 
 
 def batched(items: Sequence, batch_size: int) -> List[Sequence]:

@@ -1,0 +1,381 @@
+"""Production serving daemon: HTTP super-resolution with TPU micro-batching.
+
+Beyond the reference, which ships only file-corpus CLIs (ssr/infer.py:42-67
+runs batch=1 per png and exits): a long-lived server process holding ONE
+compiled engine program and coalescing concurrent requests into fixed-shape
+device batches. The TPU-first serving pattern: jitted programs have static
+shapes, so the server always runs the same [batch_size, 32, 32, T*3]
+executable — requests are micro-batched (a dispatcher waits up to
+`max_wait_ms` to fill a batch) and trailing slots are padded, exactly like
+the infer CLI pads its final batch. Dispatch and result-fetch run on
+separate threads so host->device transfer, device compute and readback of
+consecutive batches overlap (InferenceEngine.dispatch/.fetch), with a
+bounded in-flight window for backpressure.
+
+Endpoints:
+  POST /v1/sr    body: PNG of a [T*32, 32, 3] stacked Sentinel-2 time series
+                 (the same file format the infer CLI consumes — reference
+                 surface ssr/infer.py:42-54). Response: image/png of the
+                 4x-SR RGB output; `Accept: application/octet-stream`
+                 returns raw uint8 bytes with an `X-Shape` header instead.
+  GET  /healthz  liveness + model/config JSON
+  GET  /stats    request/batch counters, queue depth, latency quantiles
+
+Run: python -m satlas_sr_tpu.serve -opt options/infer_example.yml --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from collections import deque
+from concurrent import futures
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Queue
+from typing import Optional, Tuple
+
+import numpy as np
+
+MAX_BODY_BYTES = 16 << 20
+
+
+class QueueFullError(RuntimeError):
+    """Raised by MicroBatcher.submit when the request queue is at its limit."""
+
+
+class MicroBatcher:
+    """Coalesces single-image requests into fixed-size engine batches.
+
+    A dispatcher thread gathers up to `engine.batch_size` queued inputs,
+    waiting at most `max_wait_ms` after the first arrival (latency bound),
+    then dispatches asynchronously; a fetcher thread blocks on results and
+    resolves the per-request futures. The in-flight window is capped at
+    `depth` batches — when the device falls behind, dispatch blocks, the
+    queue fills, and submit() starts failing fast with QueueFullError
+    (backpressure instead of unbounded memory growth).
+    """
+
+    def __init__(self, engine, input_shape: Tuple[int, ...],
+                 max_wait_ms: float = 5.0, max_queue: int = 512, depth: int = 2):
+        self.engine = engine
+        self.input_shape = tuple(input_shape)
+        self.max_wait = max(0.0, float(max_wait_ms)) / 1000.0
+        self.max_queue = int(max_queue)
+        self._cond = threading.Condition()
+        self._items: deque = deque()  # (np input, Future)
+        self._closed = False
+        self._inflight: Queue = Queue(maxsize=max(1, int(depth)))
+        self.batches_total = 0
+        self.images_total = 0
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, name="sr-batch-dispatch", daemon=True)
+        self._fetcher = threading.Thread(
+            target=self._fetch_loop, name="sr-batch-fetch", daemon=True)
+        self._dispatcher.start()
+        self._fetcher.start()
+
+    def submit(self, x: np.ndarray) -> Future:
+        if tuple(x.shape) != self.input_shape or x.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 input of shape {self.input_shape}, "
+                f"got {x.dtype} {tuple(x.shape)}")
+        fut: Future = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            if len(self._items) >= self.max_queue:
+                raise QueueFullError(
+                    f"request queue full ({self.max_queue} pending)")
+            self._items.append((x, fut))
+            self._cond.notify()
+        return fut
+
+    def queue_depth(self) -> int:
+        with self._cond:
+            return len(self._items)
+
+    def _dispatch_loop(self) -> None:
+        bs = self.engine.batch_size
+        while True:
+            with self._cond:
+                while not self._items and not self._closed:
+                    self._cond.wait()
+                if not self._items and self._closed:
+                    self._inflight.put(None)  # fetcher shutdown sentinel
+                    return
+                got = [self._items.popleft()]
+                # Latency-bounded fill: hold the batch open briefly for
+                # concurrent requests to coalesce (the TPU program runs the
+                # full padded batch either way, so filling real slots is
+                # free throughput).
+                deadline = time.monotonic() + self.max_wait
+                while len(got) < bs:
+                    while not self._items and not self._closed:
+                        left = deadline - time.monotonic()
+                        if left <= 0 or not self._cond.wait(timeout=left):
+                            break
+                    if not self._items:
+                        break
+                    while self._items and len(got) < bs:
+                        got.append(self._items.popleft())
+            futures = [f for _, f in got]
+            try:
+                handle = self.engine.dispatch(np.stack([x for x, _ in got]))
+            except Exception as exc:  # noqa: BLE001 - propagate to callers
+                for f in futures:
+                    f.set_exception(exc)
+                continue
+            self.batches_total += 1
+            self.images_total += len(got)
+            self._inflight.put((futures, handle))  # blocks at `depth`
+
+    def _fetch_loop(self) -> None:
+        while True:
+            entry = self._inflight.get()
+            if entry is None:
+                return
+            futures, handle = entry
+            try:
+                out = self.engine.fetch(handle)
+            except Exception as exc:  # noqa: BLE001 - propagate to callers
+                for f in futures:
+                    f.set_exception(exc)
+                continue
+            for i, f in enumerate(futures):
+                f.set_result(out[i])
+
+    def close(self) -> None:
+        """Stop accepting work, drain queued/in-flight batches, join threads."""
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._dispatcher.join()
+        self._fetcher.join()
+
+
+class ServeStats:
+    """Lock-protected request counters + a latency ring for quantiles."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self._lat: deque = deque(maxlen=window)
+
+    def record(self, latency_s: float, error: bool) -> None:
+        with self._lock:
+            self.requests_total += 1
+            if error:
+                self.errors_total += 1
+            else:
+                self._lat.append(latency_s)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            n = len(lat)
+            q = lambda p: round(1000 * lat[min(n - 1, int(p * n))], 2) if n else None
+            return {
+                "requests_total": self.requests_total,
+                "errors_total": self.errors_total,
+                "latency_ms": {"p50": q(0.50), "p95": q(0.95), "count": n},
+            }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route access logs away from stderr spam
+        if self.server.ctx.get("verbose"):
+            BaseHTTPRequestHandler.log_message(self, fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str = "application/json",
+              headers: Optional[dict] = None) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj: dict) -> None:
+        self._send(code, json.dumps(obj).encode() + b"\n")
+
+    def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
+        ctx = self.server.ctx
+        if self.path == "/healthz":
+            self._send_json(200, {
+                "status": "ok",
+                "model": ctx["model_type"],
+                "n_lr_images": ctx["n_frames"],
+                "batch_size": ctx["batcher"].engine.batch_size,
+                "platform": ctx["platform"],
+            })
+        elif self.path == "/stats":
+            batcher = ctx["batcher"]
+            snap = ctx["stats"].snapshot()
+            snap.update({
+                "batches_total": batcher.batches_total,
+                "images_batched": batcher.images_total,
+                "mean_batch_fill": round(
+                    batcher.images_total / batcher.batches_total, 2)
+                if batcher.batches_total else None,
+                "queue_depth": batcher.queue_depth(),
+            })
+            self._send_json(200, snap)
+        else:
+            self._send_json(404, {"error": "not found"})
+
+    def do_POST(self):  # noqa: N802 - BaseHTTPRequestHandler API
+        if self.path != "/v1/sr":
+            self._send_json(404, {"error": "not found"})
+            return
+        ctx = self.server.ctx
+        t0 = time.perf_counter()
+        code, body, ctype, headers = self._handle_sr(ctx)
+        ctx["stats"].record(time.perf_counter() - t0, error=code >= 400)
+        self._send(code, body, ctype, headers)
+
+    def _handle_sr(self, ctx) -> Tuple[int, bytes, str, Optional[dict]]:
+        from .utils.imgio import encode_png_bytes, read_png_bytes
+        from .utils.infer_utils import format_s2naip_data
+
+        def err(code, msg):
+            return code, json.dumps({"error": msg}).encode() + b"\n", \
+                "application/json", None
+
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            return err(400, "bad Content-Length")
+        if length <= 0:
+            return err(411, "Content-Length required")
+        if length > MAX_BODY_BYTES:
+            return err(413, f"body exceeds {MAX_BODY_BYTES} bytes")
+        data = self.rfile.read(length)
+        try:
+            arr = read_png_bytes(data)
+        except Exception:  # noqa: BLE001 - malformed client input
+            return err(400, "body is not a decodable PNG")
+        n = ctx["n_frames"]
+        if arr.ndim != 3 or arr.shape[1] != 32 or arr.shape[2] != 3 \
+                or arr.shape[0] % 32 != 0:
+            return err(400, f"expected a [T*32, 32, 3] PNG, got {arr.shape}")
+        if arr.shape[0] // 32 < n:
+            return err(400, f"need >= {n} frames, got {arr.shape[0] // 32}")
+        # Frame selection is seeded per request (config manual_seed):
+        # identical request bytes always produce identical outputs.
+        stacked, _ = format_s2naip_data(
+            arr, n, rng=np.random.RandomState(ctx["seed"]))
+        try:
+            fut = ctx["batcher"].submit(stacked)
+        except QueueFullError:
+            return err(503, "server overloaded")
+        except RuntimeError as exc:
+            return err(503, str(exc))
+        try:
+            out = fut.result(timeout=ctx["timeout_s"])
+        except futures.TimeoutError:  # alias of builtin TimeoutError on 3.11+
+            return err(504, "inference timed out")
+        except Exception as exc:  # noqa: BLE001 - device-side failure
+            return err(500, f"inference failed: {exc}")
+        if "application/octet-stream" in (self.headers.get("Accept") or ""):
+            return 200, out.tobytes(), "application/octet-stream", \
+                {"X-Shape": ",".join(map(str, out.shape)), "X-Dtype": "uint8"}
+        return 200, encode_png_bytes(out), "image/png", None
+
+
+def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
+                 batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
+                 max_queue: int = 512, depth: int = 2, timeout_s: float = 60.0,
+                 warmup: bool = True, verbose: bool = False):
+    """Construct (server, batcher): model + engine + micro-batcher + HTTP."""
+    import jax
+
+    from .infer import load_infer_variables
+    from .inference import InferenceEngine
+    from .utils.model_utils import build_network, uses_3d_input
+
+    n_frames = int(opt["n_lr_images"])
+    use_3d = uses_3d_input(opt["network_g"]["type"])
+    model = build_network(opt)
+    variables = load_infer_variables(opt, model, n_frames, use_3d)
+    engine = InferenceEngine(
+        model, variables,
+        batch_size=int(batch_size or opt.get("batch_size", 64)),
+        use_3d=use_3d, n_frames=n_frames,
+        matmul_precision=str(opt.get("matmul_precision", "highest")),
+    )
+    input_shape = (32, 32, n_frames * 3)
+    if warmup:
+        # Compile before accepting traffic so the first request doesn't pay
+        # the (minutes-long on a cold cache) jit compile.
+        engine.run(np.zeros((engine.batch_size,) + input_shape, np.uint8))
+    batcher = MicroBatcher(engine, input_shape, max_wait_ms=max_wait_ms,
+                           max_queue=max_queue, depth=depth)
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.daemon_threads = True
+    server.ctx = {
+        "batcher": batcher,
+        "stats": ServeStats(),
+        "n_frames": n_frames,
+        "seed": int(opt.get("manual_seed") or 0),
+        "timeout_s": float(timeout_s),
+        "model_type": opt["network_g"]["type"],
+        "platform": jax.devices()[0].platform,
+        "verbose": verbose,
+    }
+    return server, batcher
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-opt", type=str, required=True,
+                        help="Path to an infer-style options yml.")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--queue_limit", type=int, default=512)
+    parser.add_argument("--timeout_s", type=float, default=60.0)
+    parser.add_argument("--no_warmup", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    from .utils.jax_cache import enable_compilation_cache
+    from .utils.options import yaml_load
+
+    enable_compilation_cache()
+    opt = yaml_load(args.opt)
+    server, batcher = build_server(
+        opt, host=args.host, port=args.port, batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms, max_queue=args.queue_limit,
+        timeout_s=args.timeout_s, warmup=not args.no_warmup,
+        verbose=args.verbose)
+
+    import signal
+
+    def _stop(signum, frame):
+        # shutdown() must come from another thread than serve_forever's.
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+    print(f"serving {opt['network_g']['type']} on "
+          f"http://{server.server_address[0]}:{server.server_address[1]} "
+          f"(batch {batcher.engine.batch_size}, wait {args.max_wait_ms} ms)",
+          flush=True)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+        batcher.close()  # drain queued work before exiting
+        print("server stopped; queue drained.", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,41 @@ def read_png(path: str) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
+def read_png_bytes(data: bytes) -> np.ndarray:
+    """Decode in-memory PNG bytes to an HWC uint8 array (grayscale -> HW1).
+
+    Serving-path helper (satlas_sr_tpu/serve.py): requests arrive as bytes,
+    not files, so this decodes via PIL from a BytesIO. The file-corpus CLIs
+    keep the native GIL-free batch decoder (read_png / read_png_many).
+    """
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        if im.mode not in ("RGB", "L", "RGBA"):
+            im = im.convert("RGB")
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[-1] == 4:
+        arr = arr[..., :3]
+    return np.ascontiguousarray(arr)
+
+
+def encode_png_bytes(img: np.ndarray) -> bytes:
+    """Encode an HWC uint8 array as PNG bytes (in memory)."""
+    import io
+
+    from PIL import Image
+
+    if img.ndim == 3 and img.shape[-1] == 1:
+        img = img[..., 0]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def write_png(path: str, img: np.ndarray) -> None:
     """Write an HWC uint8 array as a PNG (creates parent dirs)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

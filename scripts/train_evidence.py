@@ -1,0 +1,271 @@
+"""On-chip end-to-end training evidence run (system-level, beyond unit tests).
+
+Drives the REAL train CLI on a production-shaped ESRGAN recipe (RRDBNet 64
+feat / 23 blocks, batch 32, the shipped urban config's losses and optimizers)
+over a synthetic-but-learnable S2-NAIP tree: HR chips are smooth random
+fields and every LR frame is the 4x box-downsample of its HR plus small
+noise, so there is a true SR mapping to learn and held-out val PSNR must
+rise if — and only if — the assembled trainer (data pipeline, USM, GAN step,
+EMA, scheduler, checkpoint/resume, validation) actually optimizes.
+
+The run is preempted with SIGTERM partway (exercising the preemption save)
+and resumed with --auto_resume, so the evidence also covers the recovery
+path on real hardware. Exit code is nonzero unless l_g_pix fell AND val
+PSNR rose, making this usable as an acceptance gate.
+
+Usage: python scripts/train_evidence.py [--iters 1200] [--workdir DIR]
+       [--preempt_frac 0.4] [--fresh]
+"""
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+sys.path.insert(0, REPO)
+
+RUN_NAME = "evidence_esrgan"
+
+
+def _smooth_field(rng, size=128, base=16, lo=30, hi=225):
+    """Low-frequency random RGB field: upsampled coarse noise."""
+    from PIL import Image
+
+    coarse = rng.rand(base, base, 3)
+    chans = [
+        np.asarray(
+            Image.fromarray((c * 255).astype(np.uint8)).resize(
+                (size, size), Image.BILINEAR
+            ),
+            dtype=np.float32,
+        )
+        for c in coarse.transpose(2, 0, 1)
+    ]
+    img = np.stack(chans, axis=-1) / 255.0
+    return (lo + img * (hi - lo)).astype(np.uint8)
+
+
+def _make_split(root, n_chips, rng, n_frames=8):
+    from PIL import Image
+
+    from satlas_sr_tpu.utils.imgio import write_png
+
+    for k in range(n_chips):
+        chip = f"chip{k:04d}"
+        hr = _smooth_field(rng)
+        # true 4x relationship: LR frames are box-downsampled HR + noise
+        lr = np.asarray(
+            Image.fromarray(hr).resize((32, 32), Image.BOX), dtype=np.float32
+        )
+        frames = []
+        for _ in range(n_frames):
+            f = lr + rng.randn(32, 32, 3) * 2.0
+            frames.append(np.clip(f, 1, 255).astype(np.uint8))  # no zero pixels
+        write_png(os.path.join(root, "naip", chip, f"{chip}.png"), hr)
+        write_png(
+            os.path.join(root, "sentinel2", chip, "tci.png"),
+            np.concatenate(frames, axis=0),
+        )
+
+
+def _write_config(workdir, iters, val_freq, ckpt_freq):
+    import yaml
+
+    opt = {
+        "name": RUN_NAME,
+        "model_type": "SSRESRGANModel",
+        "scale": 4,
+        "num_gpu": "auto",
+        "manual_seed": 0,
+        "l1_gt_usm": True,
+        "percep_gt_usm": True,
+        "gan_gt_usm": False,
+        "feed_disc_lr": True,
+        "compute_dtype": "bfloat16",
+        "matmul_precision": "default",
+        "datasets": {
+            "train": {
+                "name": "train",
+                "type": "S2NAIPDataset",
+                "sentinel2_path": os.path.join(workdir, "train", "sentinel2"),
+                "naip_path": os.path.join(workdir, "train", "naip"),
+                "use_shuffle": True,
+                "num_worker_per_gpu": 2,
+                "batch_size_per_gpu": 32,
+                "n_s2_images": 8,
+                "io_backend": {"type": "disk"},
+            },
+            "val": {
+                "name": "validation",
+                "type": "S2NAIPDataset",
+                "sentinel2_path": os.path.join(workdir, "val", "sentinel2"),
+                "naip_path": os.path.join(workdir, "val", "naip"),
+                "use_shuffle": False,
+                "n_s2_images": 8,
+                "io_backend": {"type": "disk"},
+            },
+        },
+        # the shipped production shapes (esrgan_s2naip_urban.yml)
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": 24, "num_out_ch": 3,
+                      "num_feat": 64, "num_block": 23, "num_grow_ch": 32},
+        "network_d": {"type": "SSR_UNetDiscriminatorSN", "num_in_ch": 27,
+                      "num_feat": 64, "skip_connection": True},
+        "path": {"param_key_g": "params_ema", "strict_load_g": True,
+                 "param_key_d": "params", "strict_load_d": True,
+                 "resume_state": None},
+        "train": {
+            "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 1.0e-4, "weight_decay": 0,
+                        "betas": [0.9, 0.99]},
+            "optim_d": {"type": "Adam", "lr": 1.0e-4, "weight_decay": 0,
+                        "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [400000],
+                          "gamma": 0.5},
+            "total_iter": iters,
+            "warmup_iter": -1,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0,
+                          "reduction": "mean"},
+            "perceptual_opt": {
+                "layer_weights": {"conv1_2": 0.1, "conv2_2": 0.1, "conv3_4": 1,
+                                  "conv4_4": 1, "conv5_4": 1},
+                "vgg_type": "vgg19", "use_input_norm": True,
+                "perceptual_weight": 1.0, "style_weight": 0,
+                "range_norm": False, "criterion": "l1",
+            },
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                        "real_label_val": 1.0, "fake_label_val": 0.0,
+                        "loss_weight": 0.1},
+            "net_d_iters": 1,
+            "net_d_init_iters": 0,
+        },
+        "val": {
+            "val_freq": val_freq,
+            "save_img": False,
+            "metrics": {
+                "psnr": {"type": "calculate_psnr", "crop_border": 4,
+                         "test_y_channel": False},
+                "ssim": {"type": "calculate_ssim", "crop_border": 4,
+                         "test_y_channel": False},
+            },
+        },
+        "logger": {"print_freq": 50, "save_checkpoint_freq": ckpt_freq,
+                   "use_tb_logger": False,
+                   "wandb": {"project": None, "resume_id": None}},
+    }
+    path = os.path.join(workdir, "evidence_esrgan.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(opt, f, sort_keys=False)
+    return path
+
+
+def _launch(yml):
+    return subprocess.Popen(
+        [sys.executable, "-m", "satlas_sr_tpu.train", "-opt", yml,
+         "--auto_resume"],
+        cwd=REPO,
+    )
+
+
+def _last_iter(metrics_path):
+    last = 0
+    try:
+        with open(metrics_path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "val_dataset" not in row and isinstance(row.get("iter"), int):
+                    last = max(last, row["iter"])
+    except FileNotFoundError:
+        pass
+    return last
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=1200)
+    ap.add_argument("--workdir", default="/tmp/sr_evidence")
+    ap.add_argument("--preempt_frac", type=float, default=0.4,
+                    help="SIGTERM the run at this fraction of total_iter "
+                         "(0 disables the preemption leg)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="regenerate the synthetic dataset")
+    args = ap.parse_args()
+
+    marker = os.path.join(args.workdir, ".generated")
+    if args.fresh or not os.path.exists(marker):
+        print("generating synthetic learnable S2-NAIP tree ...", flush=True)
+        rng = np.random.RandomState(0)
+        _make_split(os.path.join(args.workdir, "train"), 48, rng)
+        _make_split(os.path.join(args.workdir, "val"), 8, rng)
+        open(marker, "w").close()
+
+    val_freq = max(100, args.iters // 4)
+    yml = _write_config(args.workdir, args.iters,
+                        val_freq=val_freq, ckpt_freq=val_freq)
+    metrics = os.path.join(REPO, "experiments", RUN_NAME, "metrics.jsonl")
+
+    t0 = time.time()
+    proc = _launch(yml)
+    if args.preempt_frac > 0:
+        target = int(args.iters * args.preempt_frac)
+        while proc.poll() is None and _last_iter(metrics) < target:
+            time.sleep(5)
+        if proc.poll() is None:
+            print(f"\n>>> preempting (SIGTERM) at iter ~{_last_iter(metrics)}",
+                  flush=True)
+            proc.send_signal(signal.SIGTERM)
+        rc = proc.wait()
+        print(f">>> preempted run exited rc={rc}; resuming", flush=True)
+        proc = _launch(yml)
+    rc = proc.wait()
+    wall = time.time() - t0
+    if rc != 0:
+        print(f"train CLI failed rc={rc}")
+        return rc
+
+    # ---- summarize + assert trends
+    train_rows, val_rows = [], []
+    with open(metrics) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            (val_rows if "val_dataset" in row else train_rows).append(row)
+    train_rows.sort(key=lambda r: r.get("iter", 0))
+    head = [r["l_g_pix"] for r in train_rows[:4] if "l_g_pix" in r]
+    tail = [r["l_g_pix"] for r in train_rows[-4:] if "l_g_pix" in r]
+    d_real = [r["l_d_real"] for r in train_rows if "l_d_real" in r]
+    d_fake = [r["l_d_fake"] for r in train_rows if "l_d_fake" in r]
+    print(f"\n==== evidence summary ({wall:.0f}s wall) ====")
+    print(f"train rows: {len(train_rows)}  val rows: {len(val_rows)}")
+    print(f"l_g_pix: first≈{np.mean(head):.4f} -> last≈{np.mean(tail):.4f}")
+    print(f"l_d_real range [{min(d_real):.3f}, {max(d_real):.3f}]  "
+          f"l_d_fake range [{min(d_fake):.3f}, {max(d_fake):.3f}]")
+    psnrs = [(r["iter"], r.get("psnr")) for r in val_rows if r.get("psnr") is not None]
+    for it, p in psnrs:
+        print(f"  val @ {it}: psnr {p:.3f}")
+    ok = True
+    if not head or not tail or np.mean(tail) >= np.mean(head) * 0.8:
+        print("FAIL: l_g_pix did not fall by >=20%")
+        ok = False
+    if len(psnrs) >= 2 and psnrs[-1][1] <= psnrs[0][1]:
+        print("FAIL: val PSNR did not rise")
+        ok = False
+    if not (d_real and d_fake and max(map(abs, d_real + d_fake)) < 50):
+        print("FAIL: discriminator losses unbounded or missing")
+        ok = False
+    print("EVIDENCE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,226 @@
+"""Serving daemon tests: micro-batching dispatcher + HTTP surface.
+
+The server is a beyond-reference production component (the reference only
+ships batch-run CLIs); these tests pin its contract: coalescing/padding
+semantics, backpressure, error propagation, graceful drain, and HTTP
+end-to-end equality with the direct engine path.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from satlas_sr_tpu.archs import RRDBNet
+from satlas_sr_tpu.serve import MicroBatcher, QueueFullError, build_server
+from satlas_sr_tpu.utils import torch_io
+from satlas_sr_tpu.utils.imgio import encode_png_bytes, read_png_bytes
+from satlas_sr_tpu.utils.infer_utils import format_s2naip_data
+
+N_FRAMES = 2
+
+
+def _serve_opt(tmp_path):
+    model = RRDBNet(num_in_ch=N_FRAMES * 3, num_out_ch=3, num_feat=8,
+                    num_block=1, num_grow_ch=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, N_FRAMES * 3)))
+    weights = str(tmp_path / "net_g.pth")
+    torch_io.save_torch_state_dict(
+        weights, torch_io.rrdbnet_to_torch(variables), param_key="params_ema")
+    return {
+        "n_lr_images": N_FRAMES,
+        "scale": 4,
+        "batch_size": 8,
+        "manual_seed": 7,
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": N_FRAMES * 3,
+                      "num_out_ch": 3, "num_feat": 8, "num_block": 1,
+                      "num_grow_ch": 4},
+        "path": {"pretrain_network_g": weights, "param_key_g": "params_ema",
+                 "strict_load_g": True},
+    }
+
+
+def _post(url, body, accept=None, method="POST"):
+    req = urllib.request.Request(url, data=body, method=method)
+    if accept:
+        req.add_header("Accept", accept)
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+@pytest.fixture
+def running_server(tmp_path):
+    opt = _serve_opt(tmp_path)
+    server, batcher = build_server(opt, host="127.0.0.1", port=0,
+                                   max_wait_ms=20.0, timeout_s=120.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        yield base, server, batcher, opt
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+        thread.join(timeout=10)
+
+
+def test_serve_end_to_end_matches_engine(running_server, rng):
+    base, server, batcher, opt = running_server
+    series = [(rng.rand(4 * 32, 32, 3) * 254 + 1).astype(np.uint8)
+              for _ in range(6)]
+    formatted = np.stack([
+        format_s2naip_data(s, N_FRAMES,
+                           rng=np.random.RandomState(opt["manual_seed"]))[0]
+        for s in series])
+    expected = batcher.engine.run(formatted)
+
+    bodies = [encode_png_bytes(s) for s in series]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(lambda b: _post(base + "/v1/sr", b), bodies))
+    for i, (status, body, headers) in enumerate(results):
+        assert status == 200, body
+        assert headers["Content-Type"] == "image/png"
+        out = read_png_bytes(body)
+        assert out.shape == (128, 128, 3)
+        # per-sample conv programs are batch-composition independent
+        np.testing.assert_array_equal(out, expected[i])
+
+
+def test_serve_raw_output_and_observability(running_server, rng):
+    base, server, batcher, opt = running_server
+    s = (rng.rand(4 * 32, 32, 3) * 254 + 1).astype(np.uint8)
+    status, body, headers = _post(base + "/v1/sr", encode_png_bytes(s),
+                                  accept="application/octet-stream")
+    assert status == 200
+    assert headers["X-Shape"] == "128,128,3"
+    raw = np.frombuffer(body, np.uint8).reshape(128, 128, 3)
+    formatted = format_s2naip_data(
+        s, N_FRAMES, rng=np.random.RandomState(opt["manual_seed"]))[0]
+    np.testing.assert_array_equal(raw, batcher.engine.run(formatted[None])[0])
+
+    status, body, _ = _post(base + "/healthz", None, method="GET")
+    health = json.loads(body)
+    assert status == 200 and health["status"] == "ok"
+    assert health["model"] == "SSR_RRDBNet" and health["n_lr_images"] == N_FRAMES
+
+    status, body, _ = _post(base + "/stats", None, method="GET")
+    stats = json.loads(body)
+    assert status == 200
+    assert stats["requests_total"] >= 1 and stats["batches_total"] >= 1
+    assert stats["images_batched"] >= 1
+    assert stats["latency_ms"]["count"] >= 1
+
+
+def test_serve_rejects_bad_requests(running_server, rng):
+    base, _, _, _ = running_server
+    # not a png
+    status, body, _ = _post(base + "/v1/sr", b"this is not a png")
+    assert status == 400 and b"PNG" in body
+    # wrong geometry (W != 32)
+    bad = encode_png_bytes((rng.rand(64, 30, 3) * 255).astype(np.uint8))
+    status, body, _ = _post(base + "/v1/sr", bad)
+    assert status == 400 and b"[T*32, 32, 3]" in body
+    # too few frames (1 < n_lr_images=2)
+    short = encode_png_bytes((rng.rand(32, 32, 3) * 254 + 1).astype(np.uint8))
+    status, body, _ = _post(base + "/v1/sr", short)
+    assert status == 400 and b"frames" in body
+    # unknown route
+    status, _, _ = _post(base + "/nope", b"x")
+    assert status == 404
+
+
+class FakeEngine:
+    """Engine stand-in recording batch compositions; y = x + 1."""
+
+    def __init__(self, batch_size=8):
+        self.batch_size = batch_size
+        self.batches = []
+        self.gate = threading.Event()
+        self.gate.set()
+        self.fail_next = False
+
+    def dispatch(self, batch):
+        self.gate.wait(timeout=30)
+        if self.fail_next:
+            self.fail_next = False
+            raise RuntimeError("injected dispatch failure")
+        self.batches.append(batch.shape[0])
+        return batch
+
+    def fetch(self, handle):
+        return handle + 1
+
+
+def test_microbatcher_coalesces_while_device_busy():
+    eng = FakeEngine(batch_size=8)
+    mb = MicroBatcher(eng, (32, 32, 6), max_wait_ms=5.0, depth=1)
+    try:
+        x = np.zeros((32, 32, 6), np.uint8)
+        eng.gate.clear()                      # hold the device "busy"
+        first = mb.submit(x)
+        time.sleep(0.1)                       # dispatcher now blocked in dispatch
+        later = [mb.submit(x) for _ in range(4)]
+        eng.gate.set()
+        assert first.result(timeout=30).shape == (32, 32, 6)
+        for f in later:
+            np.testing.assert_array_equal(f.result(timeout=30),
+                                          np.ones((32, 32, 6), np.uint8))
+        # the requests queued during the stall coalesced into one batch
+        # (tolerate the first going alone OR joining, per thread scheduling)
+        assert sum(eng.batches) == 5
+        assert len(eng.batches) <= 2 and max(eng.batches) >= 4
+    finally:
+        mb.close()
+
+
+def test_microbatcher_backpressure_and_errors():
+    eng = FakeEngine(batch_size=4)
+    mb = MicroBatcher(eng, (2, 2, 3), max_wait_ms=1.0, max_queue=2, depth=1)
+    x = np.zeros((2, 2, 3), np.uint8)
+    try:
+        with pytest.raises(ValueError):
+            mb.submit(np.zeros((3, 3, 3), np.uint8))   # wrong shape
+        with pytest.raises(ValueError):
+            mb.submit(x.astype(np.float32))            # wrong dtype
+
+        eng.gate.clear()
+        inflight = mb.submit(x)
+        time.sleep(0.05)
+        queued = [mb.submit(x), mb.submit(x)]
+        with pytest.raises(QueueFullError):
+            mb.submit(x)                               # queue at max_queue=2
+        eng.fail_next = True
+        eng.gate.set()
+        with pytest.raises(RuntimeError, match="injected"):
+            inflight.result(timeout=30)
+        for f in queued:                               # later batch still fine
+            f.result(timeout=30)
+    finally:
+        mb.close()
+    with pytest.raises(RuntimeError):                  # closed -> refuse work
+        mb.submit(x)
+
+
+def test_microbatcher_close_drains_pending():
+    eng = FakeEngine(batch_size=4)
+    mb = MicroBatcher(eng, (2, 2, 3), max_wait_ms=1000.0, depth=1)
+    x = np.zeros((2, 2, 3), np.uint8)
+    eng.gate.clear()
+    futs = [mb.submit(x) for _ in range(3)]
+    threading.Timer(0.1, eng.gate.set).start()
+    mb.close()  # must drain everything queued before returning
+    assert all(f.done() for f in futs)
+    assert sum(eng.batches) == 3
