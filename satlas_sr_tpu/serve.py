@@ -317,7 +317,15 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
         engine.run(np.zeros((engine.batch_size,) + input_shape, np.uint8))
     batcher = MicroBatcher(engine, input_shape, max_wait_ms=max_wait_ms,
                            max_queue=max_queue, depth=depth)
-    server = ThreadingHTTPServer((host, port), _Handler)
+
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: concurrent clients
+        # beyond that get TCP resets before accept() ever runs. Size it to
+        # the application queue so overload surfaces as a clean 503 from
+        # submit(), not a connection reset.
+        request_queue_size = max(128, max_queue)
+
+    server = _Server((host, port), _Handler)
     server.daemon_threads = True
     server.ctx = {
         "batcher": batcher,

@@ -132,6 +132,7 @@ def _write_config(workdir, iters, val_freq, ckpt_freq):
             "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0,
                           "reduction": "mean"},
             "perceptual_opt": {
+                "type": "PerceptualLoss",
                 "layer_weights": {"conv1_2": 0.1, "conv2_2": 0.1, "conv3_4": 1,
                                   "conv4_4": 1, "conv5_4": 1},
                 "vgg_type": "vgg19", "use_input_norm": True,
