@@ -99,7 +99,12 @@ class MessageLogger:
             total_time = time.time() - self.start_time
             time_sec_avg = total_time / max(current_iter - self.start_iter, 1)
             eta_sec = time_sec_avg * (self.total_iter - current_iter)
-            eta = time.strftime("%j d %H:%M:%S", time.gmtime(eta_sec)) if eta_sec < 3.1e7 else "inf"
+            if eta_sec < 3.1e7:
+                days, rem = divmod(int(eta_sec), 86400)
+                hms = time.strftime("%H:%M:%S", time.gmtime(rem))
+                eta = f"{days} d {hms}" if days else hms
+            else:
+                eta = "inf"
             msg += f"[eta: {eta}, time (data): {iter_time:.3f} ({data_time:.3f})] "
 
         scalars = {}

@@ -26,6 +26,41 @@ def test_message_logger_jsonl_and_format(tmp_path, capsys):
     assert abs(lines[-1]["psnr"] - 31.5) < 1e-9
 
 
+def test_message_logger_eta_format(tmp_path):
+    """ETA renders actual elapsed days — strftime's %j is 1-based day-of-year,
+    which displayed every sub-day ETA as '001 d ...'."""
+    import logging
+
+    records = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = _Capture()
+    logging.getLogger("satlas_sr_tpu").addHandler(handler)
+    try:
+        opt = {
+            "name": "eta_exp",
+            "train": {"total_iter": 200},
+            "logger": {"print_freq": 1},
+            "path": {"log": str(tmp_path)},
+        }
+        ml = MessageLogger(opt, start_iter=0)
+        ml.start_time = time.time() - 100  # 100 iters in 100 s -> 1 s/iter
+        ml({"epoch": 1, "iter": 100, "lrs": [1e-4], "time": 1.0, "data_time": 0.1})
+        msg = records[-1]
+        assert "eta: 00:0" in msg and " d " not in msg  # ~100 s, no day prefix
+
+        opt["train"]["total_iter"] = 200_000  # eta ~199900 s = 2 d 07:31:40
+        ml2 = MessageLogger(opt, start_iter=0)
+        ml2.start_time = time.time() - 100
+        ml2({"epoch": 1, "iter": 100, "lrs": [1e-4], "time": 1.0, "data_time": 0.1})
+        assert "eta: 2 d 07:" in records[-1]
+    finally:
+        logging.getLogger("satlas_sr_tpu").removeHandler(handler)
+
+
 def test_avg_timer():
     t = AvgTimer()
     t.start()
