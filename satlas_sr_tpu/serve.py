@@ -40,6 +40,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 MAX_BODY_BYTES = 16 << 20
+# Largest decoded request image: a [T*32, 32, 3] series up to T=512 frames.
+MAX_IMAGE_PIXELS = 512 * 32 * 32
 
 
 class QueueFullError(RuntimeError):
@@ -165,6 +167,13 @@ class ServeStats:
         self.errors_total = 0
         self._lat: deque = deque(maxlen=window)
 
+    def reset(self) -> None:
+        """Zero counters and the latency ring (e.g. after a warm-up phase)."""
+        with self._lock:
+            self.requests_total = 0
+            self.errors_total = 0
+            self._lat.clear()
+
     def record(self, latency_s: float, error: bool) -> None:
         with self._lock:
             self.requests_total += 1
@@ -187,6 +196,9 @@ class ServeStats:
 
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
+    # Bound socket reads (request line / headers / body): a stalled client
+    # otherwise parks a handler thread forever and blocks shutdown join.
+    timeout = 65.0
 
     def log_message(self, fmt, *args):  # route access logs away from stderr spam
         if self.server.ctx.get("verbose"):
@@ -232,6 +244,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802 - BaseHTTPRequestHandler API
         if self.path != "/v1/sr":
+            # Body left unread: drop the connection rather than letting the
+            # next keep-alive request parse it as a request line.
+            self.close_connection = True
             self._send_json(404, {"error": "not found"})
             return
         ctx = self.server.ctx
@@ -251,16 +266,23 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
+            self.close_connection = True  # unread body would desync keep-alive
             return err(400, "bad Content-Length")
         if length <= 0:
+            self.close_connection = True
             return err(411, "Content-Length required")
         if length > MAX_BODY_BYTES:
+            self.close_connection = True
             return err(413, f"body exceeds {MAX_BODY_BYTES} bytes")
         data = self.rfile.read(length)
         try:
-            arr = read_png_bytes(data)
+            # Pixel cap checked from the PNG header BEFORE decompression:
+            # a 16 MB body can inflate to hundreds of MB decoded, and the
+            # queue-based backpressure only engages after decode.
+            arr = read_png_bytes(data, max_pixels=MAX_IMAGE_PIXELS)
         except Exception:  # noqa: BLE001 - malformed client input
-            return err(400, "body is not a decodable PNG")
+            return err(400, "body is not a decodable PNG within "
+                            f"{MAX_IMAGE_PIXELS} pixels")
         n = ctx["n_frames"]
         if arr.ndim != 3 or arr.shape[1] != 32 or arr.shape[2] != 3 \
                 or arr.shape[0] % 32 != 0:
@@ -324,9 +346,14 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
         # the application queue so overload surfaces as a clean 503 from
         # submit(), not a connection reset.
         request_queue_size = max(128, max_queue)
+        # Non-daemon handler threads + block_on_close: server_close() joins
+        # in-flight handlers, so a SIGTERM drain flushes every computed
+        # response to its client instead of killing writers mid-send.
+        # _Handler.timeout bounds how long a stalled client can hold a join.
+        daemon_threads = False
+        block_on_close = True
 
     server = _Server((host, port), _Handler)
-    server.daemon_threads = True
     server.ctx = {
         "batcher": batcher,
         "stats": ServeStats(),

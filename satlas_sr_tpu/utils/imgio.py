@@ -42,18 +42,25 @@ def read_png(path: str) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def read_png_bytes(data: bytes) -> np.ndarray:
+def read_png_bytes(data: bytes, max_pixels: int = 0) -> np.ndarray:
     """Decode in-memory PNG bytes to an HWC uint8 array (grayscale -> HW1).
 
     Serving-path helper (satlas_sr_tpu/serve.py): requests arrive as bytes,
     not files, so this decodes via PIL from a BytesIO. The file-corpus CLIs
     keep the native GIL-free batch decoder (read_png / read_png_many).
+
+    `max_pixels > 0` bounds the decoded size from the (cheap, header-only)
+    PIL open BEFORE pixel data is decompressed — a small PNG body can
+    inflate to hundreds of MB, so servers must cap it pre-decode.
     """
     import io
 
     from PIL import Image
 
     with Image.open(io.BytesIO(data)) as im:
+        if max_pixels and im.size[0] * im.size[1] > max_pixels:
+            raise ValueError(
+                f"image {im.size} exceeds {max_pixels} pixel limit")
         if im.mode not in ("RGB", "L", "RGBA"):
             im = im.convert("RGB")
         arr = np.asarray(im)

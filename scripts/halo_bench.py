@@ -86,16 +86,6 @@ def main():
     print(f"chunked: {chunked_tps:.3f} 2048-tiles/s "
           f"({chunked_tps * 256:.0f} chunk-img/s)", flush=True)
 
-    def cut(canvas, ph, pw, h):
-        L = canvas.shape[0]
-        out = []
-        for i0 in range(0, L, ph):
-            for j0 in range(0, L, pw):
-                si, sj = max(0, i0 - h), max(0, j0 - h)
-                ei, ej = min(L, i0 + ph + h), min(L, j0 + pw + h)
-                out.append(canvas[si:ei, sj:ej])
-        return out
-
     # production halo mode: sliding 32x32 windows, stride 32-2*halo —
     # the SAME shape as chunked, so the per-pixel rate holds; overhead is
     # only the window-count ratio ((32/(32-2h))^2 = 1.78x at h=4)
@@ -116,31 +106,6 @@ def main():
         print(f"halo sliding-32 h={h} ({len(starts) ** 2} win/tile): "
               f"{tps:.3f} 2048-tiles/s = {100 * tps / chunked_tps:.1f}% of chunked",
               flush=True)
-
-    # sweep: square pieces and full-width row strips, two halo widths.
-    # Pieces are grouped by SHAPE ACROSS tiles before batching — per-tile
-    # groups are small (4 corners, ...) and padding them to the engine batch
-    # wastes multiples of the real work (the first sweep's mistake).
-    for ph, pw, h in []:
-        per_tile = (512 // ph) * (512 // pw)
-        bs = min(64, per_tile * n_tiles)
-        eng = InferenceEngine(model, variables, batch_size=bs,
-                              matmul_precision="default", use_mesh=False)
-        groups = {}
-        for c in canvases:
-            for arr in cut(c, ph, pw, h):
-                groups.setdefault(arr.shape, []).append(arr)
-        batches = []
-        for v in groups.values():
-            for k in range(0, len(v), eng.batch_size):
-                batches.append(np.stack(v[k:k + eng.batch_size]))
-        n_fwd = sum(((len(v) + eng.batch_size - 1) // eng.batch_size) * eng.batch_size
-                    for v in groups.values())
-        dt = device_time(eng, batches)
-        tps = n_tiles / dt
-        print(f"halo piece={ph}x{pw} h={h}: {tps:.3f} 2048-tiles/s "
-              f"= {100 * tps / chunked_tps:.1f}% of chunked "
-              f"(pad waste {n_fwd / (per_tile * n_tiles):.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,11 @@ def main():
 
     with ThreadPoolExecutor(max_workers=args.concurrency) as pool:
         list(pool.map(post, range(min(args.concurrency, 16))))  # warm client path
+        # Exclude warm-up from the reported numbers: its low-concurrency
+        # posts skew latency quantiles and dilute the mean batch fill.
+        server.ctx["stats"].reset()
+        batcher.batches_total = 0
+        batcher.images_total = 0
         t0 = time.perf_counter()
         list(pool.map(post, range(args.requests)))
         dt = time.perf_counter() - t0

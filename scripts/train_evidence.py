@@ -200,6 +200,16 @@ def main():
                     help="regenerate the synthetic dataset")
     args = ap.parse_args()
 
+    # The gate must judge THIS run only: a stale experiment dir would make
+    # --auto_resume skip the training and the trend assertions read the
+    # previous run's appended metrics.jsonl rows.
+    exp_dir = os.path.join(REPO, "experiments", RUN_NAME)
+    if os.path.isdir(exp_dir):
+        import shutil
+
+        print(f"removing stale experiment dir {exp_dir}", flush=True)
+        shutil.rmtree(exp_dir)
+
     marker = os.path.join(args.workdir, ".generated")
     if args.fresh or not os.path.exists(marker):
         print("generating synthetic learnable S2-NAIP tree ...", flush=True)

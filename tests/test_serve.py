@@ -142,6 +142,46 @@ def test_serve_rejects_bad_requests(running_server, rng):
     assert status == 404
 
 
+def test_serve_decode_bomb_rejected(running_server):
+    """A body under MAX_BODY_BYTES whose DECODED size exceeds the pixel cap
+    is refused from the PNG header, before decompression can allocate."""
+    base, _, _, _ = running_server
+    # 32 x (513*32) zeros: > MAX_IMAGE_PIXELS decoded, ~2 KB compressed
+    bomb = encode_png_bytes(np.zeros((513 * 32, 32, 3), np.uint8))
+    assert len(bomb) < 1 << 20
+    status, body, _ = _post(base + "/v1/sr", bomb)
+    assert status == 400 and b"pixels" in body
+
+
+def test_serve_error_paths_close_keepalive_connection(running_server):
+    """Error responses sent before the body was read must drop the
+    connection — otherwise the next keep-alive request on the same socket
+    would parse the unread body bytes as a request line (desync)."""
+    import http.client
+
+    base, _, _, _ = running_server
+    host, port = base.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        # unknown POST route with an (unread) body
+        conn.request("POST", "/nope", body=b"x" * 4096)
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # the server must have closed the socket: a reused connection either
+        # raises on send/read or http.client flags the close — it must NOT
+        # yield a desynced parse of the stale body bytes.
+        try:
+            conn.request("GET", "/healthz")
+            resp2 = conn.getresponse()
+            assert resp2.will_close or resp2.status == 200
+        except (http.client.HTTPException, ConnectionError, BrokenPipeError,
+                TimeoutError):
+            pass
+    finally:
+        conn.close()
+
+
 class FakeEngine:
     """Engine stand-in recording batch compositions; y = x + 1."""
 
