@@ -1,0 +1,252 @@
+"""AOT model export: serialize the compiled SR program to a deployable artifact.
+
+Beyond the reference (which re-builds a torch model and re-runs cuDNN autotune
+on every process launch, ssr/infer.py:29-38): `jax.export` lowers the
+InferenceEngine's uint8->uint8 program ONCE — weights embedded as StableHLO
+constants — into a self-contained `.ssrx` file. Deployment hosts then load it
+with ExportedEngine and need neither the model code, nor flax, nor the torch
+checkpoint import path; the fleet runs the exact HLO that was validated, with
+no recompilation drift between rollouts. The persistent XLA cache still
+amortizes the per-host backend compile of the deserialized module.
+
+Artifact (`.ssrx`) = a zip of:
+  meta.json            model/config/shape/platform metadata (human-readable)
+  module.jaxexport     jax.export serialization (StableHLO + calling convention)
+
+TPU-native notes: the exported module is platform-tagged — the default export
+targets BOTH 'tpu' and 'cpu' so one artifact serves the fleet and local
+debugging; exporting for TPU does NOT require a TPU on the exporting host
+(cross-platform lowering). `--symbolic_batch` exports a shape-polymorphic
+batch dimension (any batch size, one artifact); fixed-batch exports match the
+serving daemon's single-executable design.
+
+Usage:
+  python -m satlas_sr_tpu.export -opt options/infer_example.yml -o model.ssrx --check
+  python -m satlas_sr_tpu.serve  -opt options/infer_example.yml --artifact model.ssrx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import zipfile
+from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+ARTIFACT_FORMAT = "ssrx-v1"
+_META_NAME = "meta.json"
+_MODULE_NAME = "module.jaxexport"
+
+
+def export_artifact(
+    opt: dict,
+    out_path: str,
+    batch_size: Optional[int] = None,
+    symbolic_batch: bool = False,
+    hw: int = 32,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    check: bool = False,
+) -> Dict[str, Any]:
+    """Lower the engine program for `opt` and write a `.ssrx` artifact.
+
+    `symbolic_batch=True` exports a batch-polymorphic module (the `b`
+    dimension stays symbolic; every concrete batch size works, each new size
+    pays one backend compile at load time). `hw` sets the square input window
+    (32 = the chunk/serving shape; e.g. 512 exports a whole-tile program).
+    Returns the artifact metadata dict.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from .infer import load_infer_variables
+    from .inference import InferenceEngine
+    from .utils.model_utils import build_network, uses_3d_input
+
+    n_frames = int(opt["n_lr_images"])
+    use_3d = uses_3d_input(opt["network_g"]["type"])
+    model = build_network(opt)
+    variables = load_infer_variables(opt, model, n_frames, use_3d)
+    engine = InferenceEngine(
+        model,
+        variables,
+        batch_size=int(batch_size or opt.get("batch_size", 64)),
+        use_3d=use_3d,
+        n_frames=n_frames,
+        matmul_precision=str(opt.get("matmul_precision", "highest")),
+        use_mesh=False,  # portability: the artifact is single-device SPMD-free
+    )
+
+    if use_3d:
+        dims = (n_frames, hw, hw, 3)
+    else:
+        dims = (hw, hw, n_frames * 3)
+    if symbolic_batch:
+        shape = jax_export.symbolic_shape(
+            ", ".join(["b"] + [str(d) for d in dims]))
+    else:
+        shape = (engine.batch_size,) + dims
+    x_spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+
+    # engine.variables close over as embedded constants — the artifact is
+    # self-contained (bf16 engines embed bf16 weights: half the bytes).
+    fn = jax.jit(lambda x: engine._run(engine.variables, x))
+    exported = jax_export.export(fn, platforms=tuple(platforms))(x_spec)
+    payload = exported.serialize()
+
+    meta: Dict[str, Any] = {
+        "format": ARTIFACT_FORMAT,
+        "model_type": opt["network_g"]["type"],
+        "network_g": dict(opt["network_g"]),
+        "scale": int(opt.get("scale", 4)),
+        "n_lr_images": n_frames,
+        "use_3d": use_3d,
+        "batch_size": None if symbolic_batch else engine.batch_size,
+        "input_dims": list(dims),
+        "input_dtype": "uint8",
+        "output_dtype": "uint8",
+        "platforms": list(exported.platforms),
+        "matmul_precision": str(opt.get("matmul_precision", "highest")),
+        "compute_dtype": jnp.dtype(model.dtype).name
+        if getattr(model, "dtype", None) is not None else "float32",
+        "jax_version": jax.__version__,
+        "calling_convention": exported.calling_convention_version,
+        "weights": opt.get("path", {}).get("pretrain_network_g") or "(seeded init)",
+    }
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(_META_NAME, json.dumps(meta, indent=1))
+        z.writestr(_MODULE_NAME, payload)
+
+    if check:
+        backend = jax.default_backend()
+        if backend not in exported.platforms:
+            print(f"check skipped: current backend '{backend}' not in "
+                  f"exported platforms {list(exported.platforms)}")
+        else:
+            loaded = ExportedEngine(out_path, batch_size=engine.batch_size)
+            rng = np.random.RandomState(0)
+            # `dims` is already the engine's per-sample input shape (5-D
+            # frame-split for use_3d models), so one batch drives both paths.
+            x = (rng.rand(engine.batch_size, *dims) * 255).astype(np.uint8)
+            ref = engine.run(x)
+            got = loaded.run(x)
+            if not np.array_equal(ref, got):
+                raise AssertionError(
+                    "exported artifact output differs from the live engine")
+            meta["checked"] = True
+            print(f"check ok: artifact matches the live engine bit-exactly "
+                  f"on a random batch ({backend})")
+    return meta
+
+
+def read_artifact_meta(path: str) -> Dict[str, Any]:
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read(_META_NAME))
+    if meta.get("format") != ARTIFACT_FORMAT:
+        raise ValueError(
+            f"{path}: unsupported artifact format {meta.get('format')!r} "
+            f"(expected {ARTIFACT_FORMAT})")
+    return meta
+
+
+class ExportedEngine:
+    """Drop-in InferenceEngine replacement backed by a `.ssrx` artifact.
+
+    Exposes the same `batch_size` / `run` / `dispatch` / `fetch` / `run_many`
+    surface the serving daemon and infer CLIs program against — but built
+    from a deserialized jax.export module, so the host needs no model code.
+
+    For symbolic-batch artifacts, `batch_size` fixes the serving batch (one
+    executable); submitting other sizes works but compiles per shape.
+    """
+
+    def __init__(self, path: str, batch_size: Optional[int] = None):
+        import jax
+        from jax import export as jax_export
+
+        self.meta = read_artifact_meta(path)
+        with zipfile.ZipFile(path) as z:
+            payload = z.read(_MODULE_NAME)
+        self._exp = jax_export.deserialize(payload)
+        backend = jax.default_backend()
+        if backend not in self._exp.platforms:
+            raise RuntimeError(
+                f"{path} was exported for {list(self._exp.platforms)}; this "
+                f"host's JAX backend is '{backend}'. Re-export with "
+                f"--platforms {backend} (or including it).")
+        self._call = jax.jit(self._exp.call)
+        self.use_3d = bool(self.meta["use_3d"])
+        self.n_frames = int(self.meta["n_lr_images"])
+        fixed = self.meta.get("batch_size")
+        self.batch_size = int(batch_size or fixed or 64)
+        if fixed is not None and self.batch_size != int(fixed):
+            raise ValueError(
+                f"artifact has a fixed batch of {fixed}; requested "
+                f"{self.batch_size} (use a --symbolic_batch export for "
+                "variable batch sizes)")
+
+    def _prep(self, batch_np: np.ndarray) -> np.ndarray:
+        from .inference import prep_batch
+
+        return prep_batch(np.ascontiguousarray(batch_np), self.batch_size,
+                          self.use_3d, self.n_frames)
+
+    def dispatch(self, batch_np: np.ndarray) -> Tuple[int, Any]:
+        import jax
+
+        n = batch_np.shape[0]
+        return n, self._call(jax.device_put(self._prep(batch_np)))
+
+    def fetch(self, handle) -> np.ndarray:
+        n, y = handle
+        return np.asarray(y)[:n]
+
+    def run(self, batch_np: np.ndarray) -> np.ndarray:
+        return self.fetch(self.dispatch(batch_np))
+
+    def run_many(self, batches: Iterable[np.ndarray], depth: int = 3):
+        from .inference import pipelined
+
+        return pipelined(self.dispatch, self.fetch, batches, depth)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-opt", type=str, required=True,
+                        help="Path to an infer-style options yml.")
+    parser.add_argument("-o", "--out", type=str, required=True,
+                        help="Output artifact path (.ssrx).")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="Fixed batch size (default: config batch_size).")
+    parser.add_argument("--symbolic_batch", action="store_true",
+                        help="Export a batch-polymorphic module instead.")
+    parser.add_argument("--hw", type=int, default=32,
+                        help="Square input window (32 = chunk/serving shape).")
+    parser.add_argument("--platforms", type=str, default="tpu,cpu",
+                        help="Comma-separated lowering targets.")
+    parser.add_argument("--check", action="store_true",
+                        help="Reload the artifact and verify bit-exact "
+                             "against the live engine.")
+    args = parser.parse_args(argv)
+
+    from .utils.jax_cache import enable_compilation_cache
+    from .utils.options import yaml_load
+
+    enable_compilation_cache()
+    opt = yaml_load(args.opt)
+    meta = export_artifact(
+        opt, args.out, batch_size=args.batch,
+        symbolic_batch=args.symbolic_batch, hw=args.hw,
+        platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
+        check=args.check)
+    import os
+
+    print(f"exported {meta['model_type']} -> {args.out} "
+          f"({os.path.getsize(args.out) / 1e6:.1f} MB, "
+          f"platforms {meta['platforms']}, batch "
+          f"{meta['batch_size'] if meta['batch_size'] else 'symbolic'})")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,16 +95,7 @@ class InferenceEngine:
         self._run = _run
 
     def _prep(self, batch_np: np.ndarray) -> np.ndarray:
-        """Pad to the compiled batch size; optionally reshape to 5-D frames."""
-        n = batch_np.shape[0]
-        if n < self.batch_size:
-            pad = np.repeat(batch_np[:1], self.batch_size - n, axis=0)
-            batch_np = np.concatenate([batch_np, pad], axis=0)
-        if self.use_3d and batch_np.ndim == 4:
-            b, h, w, tc = batch_np.shape
-            t = self.n_frames or tc // 3
-            batch_np = batch_np.reshape(b, h, w, t, tc // t).transpose(0, 3, 1, 2, 4)
-        return batch_np
+        return prep_batch(batch_np, self.batch_size, self.use_3d, self.n_frames)
 
     def _put(self, batch_np: np.ndarray):
         x = self._prep(np.ascontiguousarray(batch_np))
@@ -143,15 +134,37 @@ class InferenceEngine:
         CUDAPrefetcher role, train.py:77-86 — but on the output side too,
         which matters on a high-latency tunnel link).
         """
-        from collections import deque
+        return pipelined(self.dispatch, self.fetch, batches, depth)
 
-        pending: deque = deque()  # dispatch handles
-        for b in batches:
-            pending.append(self.dispatch(b))
-            if len(pending) >= max(1, depth):
-                yield self.fetch(pending.popleft())
-        while pending:
-            yield self.fetch(pending.popleft())
+
+def prep_batch(batch_np: np.ndarray, batch_size: int, use_3d: bool = False,
+               n_frames: Optional[int] = None) -> np.ndarray:
+    """Pad to the compiled batch size; optionally reshape to 5-D frames.
+
+    Shared by InferenceEngine and the AOT ExportedEngine (export.py) so the
+    live and deserialized programs see identical inputs."""
+    n = batch_np.shape[0]
+    if n < batch_size:
+        pad = np.repeat(batch_np[:1], batch_size - n, axis=0)
+        batch_np = np.concatenate([batch_np, pad], axis=0)
+    if use_3d and batch_np.ndim == 4:
+        b, h, w, tc = batch_np.shape
+        t = n_frames or tc // 3
+        batch_np = batch_np.reshape(b, h, w, t, tc // t).transpose(0, 3, 1, 2, 4)
+    return batch_np
+
+
+def pipelined(dispatch, fetch, batches: Iterable[np.ndarray], depth: int = 3):
+    """Generic in-flight window: up to `depth` dispatched batches pending."""
+    from collections import deque
+
+    pending: deque = deque()  # dispatch handles
+    for b in batches:
+        pending.append(dispatch(b))
+        if len(pending) >= max(1, depth):
+            yield fetch(pending.popleft())
+    while pending:
+        yield fetch(pending.popleft())
 
 
 def batched(items: Sequence, batch_size: int) -> List[Sequence]:

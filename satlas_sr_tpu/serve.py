@@ -314,24 +314,47 @@ class _Handler(BaseHTTPRequestHandler):
 def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
                  batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
                  max_queue: int = 512, depth: int = 2, timeout_s: float = 60.0,
-                 warmup: bool = True, verbose: bool = False):
-    """Construct (server, batcher): model + engine + micro-batcher + HTTP."""
+                 warmup: bool = True, verbose: bool = False,
+                 artifact: Optional[str] = None):
+    """Construct (server, batcher): model + engine + micro-batcher + HTTP.
+
+    `artifact` serves a `.ssrx` AOT export (satlas_sr_tpu/export.py) instead
+    of building the model: the host runs the exact lowered program the
+    artifact pins, with no model code or torch-checkpoint import on the
+    serving path. The config still supplies n_lr_images / manual_seed; the
+    artifact's own fixed batch wins over the config's batch_size.
+    """
     import jax
 
-    from .infer import load_infer_variables
-    from .inference import InferenceEngine
-    from .utils.model_utils import build_network, uses_3d_input
-
     n_frames = int(opt["n_lr_images"])
-    use_3d = uses_3d_input(opt["network_g"]["type"])
-    model = build_network(opt)
-    variables = load_infer_variables(opt, model, n_frames, use_3d)
-    engine = InferenceEngine(
-        model, variables,
-        batch_size=int(batch_size or opt.get("batch_size", 64)),
-        use_3d=use_3d, n_frames=n_frames,
-        matmul_precision=str(opt.get("matmul_precision", "highest")),
-    )
+    if artifact:
+        from .export import ExportedEngine
+
+        engine = ExportedEngine(artifact, batch_size=batch_size)
+        if engine.n_frames != n_frames:
+            raise ValueError(
+                f"artifact expects n_lr_images={engine.n_frames}, the config "
+                f"says {n_frames}")
+        dims = engine.meta["input_dims"]
+        if dims[-3] != 32 or dims[-2] != 32:
+            raise ValueError(
+                f"serving needs a 32x32-window artifact, got input dims {dims}")
+        model_type = engine.meta["model_type"]
+    else:
+        from .infer import load_infer_variables
+        from .inference import InferenceEngine
+        from .utils.model_utils import build_network, uses_3d_input
+
+        use_3d = uses_3d_input(opt["network_g"]["type"])
+        model = build_network(opt)
+        variables = load_infer_variables(opt, model, n_frames, use_3d)
+        engine = InferenceEngine(
+            model, variables,
+            batch_size=int(batch_size or opt.get("batch_size", 64)),
+            use_3d=use_3d, n_frames=n_frames,
+            matmul_precision=str(opt.get("matmul_precision", "highest")),
+        )
+        model_type = opt["network_g"]["type"]
     input_shape = (32, 32, n_frames * 3)
     if warmup:
         # Compile before accepting traffic so the first request doesn't pay
@@ -360,7 +383,7 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
         "n_frames": n_frames,
         "seed": int(opt.get("manual_seed") or 0),
         "timeout_s": float(timeout_s),
-        "model_type": opt["network_g"]["type"],
+        "model_type": model_type,
         "platform": jax.devices()[0].platform,
         "verbose": verbose,
     }
@@ -379,6 +402,9 @@ def main(argv=None):
     parser.add_argument("--timeout_s", type=float, default=60.0)
     parser.add_argument("--no_warmup", action="store_true")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="Serve a .ssrx AOT export (satlas_sr_tpu.export) "
+                             "instead of building the model from the config.")
     args = parser.parse_args(argv)
 
     from .utils.jax_cache import enable_compilation_cache
@@ -390,7 +416,7 @@ def main(argv=None):
         opt, host=args.host, port=args.port, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, max_queue=args.queue_limit,
         timeout_s=args.timeout_s, warmup=not args.no_warmup,
-        verbose=args.verbose)
+        verbose=args.verbose, artifact=args.artifact)
 
     import signal
 
@@ -400,7 +426,7 @@ def main(argv=None):
 
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
-    print(f"serving {opt['network_g']['type']} on "
+    print(f"serving {server.ctx['model_type']} on "
           f"http://{server.server_address[0]}:{server.server_address[1]} "
           f"(batch {batcher.engine.batch_size}, wait {args.max_wait_ms} ms)",
           flush=True)

@@ -1,0 +1,221 @@
+"""AOT export tests (satlas_sr_tpu/export.py).
+
+Pins the beyond-reference deployment contract: a `.ssrx` artifact
+(jax.export StableHLO with weights embedded as constants) reproduces the
+live InferenceEngine bit-exactly, round-trips through the CLI, supports
+batch-polymorphic exports, refuses wrong platforms/batches loudly, and
+drops into the serving daemon in place of the model-built engine.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from satlas_sr_tpu.export import (
+    ExportedEngine,
+    export_artifact,
+    main as export_main,
+    read_artifact_meta,
+)
+from satlas_sr_tpu.inference import InferenceEngine
+from satlas_sr_tpu.utils.model_utils import build_network
+
+N_FRAMES = 2
+
+
+def _opt(batch_size=4, compute_dtype="float32"):
+    # No weights file: load_infer_variables falls back to a PRNGKey(0) seeded
+    # init, so an engine built here and the one inside export_artifact carry
+    # identical parameters.
+    return {
+        "n_lr_images": N_FRAMES,
+        "scale": 4,
+        "batch_size": batch_size,
+        "compute_dtype": compute_dtype,
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": N_FRAMES * 3,
+                      "num_out_ch": 3, "num_feat": 8, "num_block": 1,
+                      "num_grow_ch": 4},
+        "path": {},
+    }
+
+
+def _live_engine(opt):
+    from satlas_sr_tpu.infer import load_infer_variables
+    from satlas_sr_tpu.utils.model_utils import uses_3d_input
+
+    use_3d = uses_3d_input(opt["network_g"]["type"])
+    model = build_network(opt)
+    variables = load_infer_variables(opt, model, int(opt["n_lr_images"]), use_3d)
+    return InferenceEngine(model, variables, batch_size=int(opt["batch_size"]),
+                           use_3d=use_3d, n_frames=int(opt["n_lr_images"]),
+                           use_mesh=False)
+
+
+def _batch(rng, n, dims=(32, 32, N_FRAMES * 3)):
+    return (rng.rand(n, *dims) * 255).astype(np.uint8)
+
+
+def test_export_roundtrip_bitexact(tmp_path, rng):
+    opt = _opt()
+    path = str(tmp_path / "model.ssrx")
+    meta = export_artifact(opt, path, platforms=("cpu",), check=True)
+    assert meta["checked"] is True
+    assert meta["batch_size"] == 4 and meta["platforms"] == ["cpu"]
+
+    engine = _live_engine(opt)
+    loaded = ExportedEngine(path)
+    x = _batch(rng, 3)  # partial batch exercises the shared padding
+    assert np.array_equal(loaded.run(x), engine.run(x))
+
+
+def test_export_symbolic_batch(tmp_path, rng):
+    opt = _opt()
+    path = str(tmp_path / "model_sym.ssrx")
+    meta = export_artifact(opt, path, symbolic_batch=True, platforms=("cpu",))
+    assert meta["batch_size"] is None
+
+    engine = _live_engine(opt)
+    loaded = ExportedEngine(path, batch_size=5)
+    assert loaded.batch_size == 5
+    for n in (5, 2):
+        x = _batch(rng, n)
+        assert np.array_equal(loaded.run(x), engine.run(x))
+
+
+def test_export_multiplatform_runs_on_cpu(tmp_path, rng):
+    opt = _opt()
+    path = str(tmp_path / "model_multi.ssrx")
+    meta = export_artifact(opt, path, platforms=("tpu", "cpu"))
+    assert meta["platforms"] == ["tpu", "cpu"]
+    loaded = ExportedEngine(path)
+    engine = _live_engine(opt)
+    x = _batch(rng, 4)
+    assert np.array_equal(loaded.run(x), engine.run(x))
+
+
+def test_export_platform_refusal(tmp_path):
+    path = str(tmp_path / "model_tpu.ssrx")
+    export_artifact(_opt(), path, platforms=("tpu",))
+    with pytest.raises(RuntimeError, match="exported for .*tpu"):
+        ExportedEngine(path)
+
+
+def test_export_fixed_batch_mismatch_refused(tmp_path):
+    path = str(tmp_path / "model.ssrx")
+    export_artifact(_opt(batch_size=4), path, platforms=("cpu",))
+    with pytest.raises(ValueError, match="fixed batch of 4"):
+        ExportedEngine(path, batch_size=8)
+
+
+def test_export_meta_and_bad_format(tmp_path):
+    import json
+    import zipfile
+
+    path = str(tmp_path / "model.ssrx")
+    export_artifact(_opt(compute_dtype="bfloat16"), path, platforms=("cpu",))
+    meta = read_artifact_meta(path)
+    assert meta["compute_dtype"] == "bfloat16"
+    assert meta["input_dims"] == [32, 32, N_FRAMES * 3]
+    assert meta["n_lr_images"] == N_FRAMES and meta["use_3d"] is False
+
+    bad = str(tmp_path / "bad.ssrx")
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("meta.json", json.dumps({"format": "other"}))
+    with pytest.raises(ValueError, match="unsupported artifact format"):
+        read_artifact_meta(bad)
+
+
+def test_export_use_3d_srcnn(tmp_path, rng):
+    opt = {
+        "n_lr_images": N_FRAMES,
+        "scale": 4,
+        "batch_size": 2,
+        "network_g": {"type": "SRCNN", "in_channels": 3, "mask_channels": 0,
+                      "revisits": N_FRAMES, "hidden_channels": 16,
+                      "out_channels": 3, "kernel_size": 3,
+                      "residual_layers": 1, "output_size": 128,
+                      "zoom_factor": 4, "sr_kernel_size": 1},
+        "path": {},
+    }
+    path = str(tmp_path / "srcnn.ssrx")
+    meta = export_artifact(opt, path, platforms=("cpu",), check=True)
+    assert meta["use_3d"] is True
+    assert meta["input_dims"] == [N_FRAMES, 32, 32, 3]
+
+    engine = _live_engine(opt)
+    loaded = ExportedEngine(path)
+    # the stacked 4-D layout the CLIs produce preps identically on both sides
+    x = _batch(rng, 2)
+    assert np.array_equal(loaded.run(x), engine.run(x))
+
+
+def test_export_cli_main(tmp_path, capsys):
+    import yaml
+
+    cfg = tmp_path / "infer.yml"
+    cfg.write_text(yaml.safe_dump(_opt()))
+    out = str(tmp_path / "cli.ssrx")
+    export_main(["-opt", str(cfg), "-o", out, "--batch", "4",
+                 "--platforms", "cpu", "--check"])
+    text = capsys.readouterr().out
+    assert "check ok" in text and "exported SSR_RRDBNet" in text
+    assert read_artifact_meta(out)["batch_size"] == 4
+
+
+def test_serve_with_artifact(tmp_path, rng):
+    from satlas_sr_tpu.serve import build_server
+    from satlas_sr_tpu.utils.imgio import encode_png_bytes, read_png_bytes
+    from satlas_sr_tpu.utils.infer_utils import format_s2naip_data
+
+    opt = _opt(batch_size=2)
+    opt["manual_seed"] = 7
+    path = str(tmp_path / "serve.ssrx")
+    export_artifact(opt, path, platforms=("cpu",))
+
+    server, batcher = build_server(opt, host="127.0.0.1", port=0,
+                                   max_wait_ms=5.0, timeout_s=120.0,
+                                   artifact=path)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        import urllib.request
+
+        series = (rng.rand(N_FRAMES * 32, 32, 3) * 254 + 1).astype(np.uint8)
+        req = urllib.request.Request(
+            f"{base}/v1/sr", data=encode_png_bytes(series), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            out = read_png_bytes(resp.read())
+
+        stacked, _ = format_s2naip_data(series, N_FRAMES,
+                                        rng=np.random.RandomState(7))
+        expected = ExportedEngine(path).run(stacked[None])[0]
+        assert np.array_equal(out, expected)
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            import json
+
+            health = json.loads(resp.read())
+            assert health["model"] == "SSR_RRDBNet"
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+        thread.join(timeout=10)
+
+
+def test_serve_artifact_frame_mismatch_refused(tmp_path):
+    from satlas_sr_tpu.serve import build_server
+
+    path = str(tmp_path / "model.ssrx")
+    export_artifact(_opt(), path, platforms=("cpu",))
+    bad_opt = _opt()
+    bad_opt["n_lr_images"] = N_FRAMES + 1
+    bad_opt["network_g"]["num_in_ch"] = (N_FRAMES + 1) * 3
+    with pytest.raises(ValueError, match="n_lr_images"):
+        build_server(bad_opt, port=0, artifact=path)
