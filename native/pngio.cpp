@@ -161,4 +161,171 @@ int pngio_write(const char* path, const void* data, int h, int w, int c) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// In-memory codec: the serving daemon's hot path (satlas_sr_tpu/serve.py).
+// Requests arrive as PNG *bytes*, not files; decoding/encoding here (GIL-free
+// via ctypes) keeps the single-threaded HTTP host from spending its core in
+// PIL/zlib Python-side plumbing.
+
+namespace {
+
+struct MemReader {
+  const unsigned char* data;
+  size_t len;
+  size_t pos;
+};
+
+void mem_read_cb(png_structp png, png_bytep out, png_size_t n) {
+  auto* r = static_cast<MemReader*>(png_get_io_ptr(png));
+  if (r->pos + n > r->len) png_error(png, "png: read past end of buffer");
+  memcpy(out, r->data + r->pos, n);
+  r->pos += n;
+}
+
+struct MemWriter {
+  unsigned char* data;
+  size_t len;
+  size_t cap;
+};
+
+void mem_write_cb(png_structp png, png_bytep in, png_size_t n) {
+  auto* w = static_cast<MemWriter*>(png_get_io_ptr(png));
+  if (w->len + n > w->cap) {
+    size_t cap = w->cap ? w->cap * 2 : 65536;
+    while (cap < w->len + n) cap *= 2;
+    auto* p = static_cast<unsigned char*>(realloc(w->data, cap));
+    if (!p) png_error(png, "png: out of memory");
+    w->data = p;
+    w->cap = cap;
+  }
+  memcpy(w->data + w->len, in, n);
+  w->len += n;
+}
+
+void mem_flush_cb(png_structp) {}
+
+// The mem codec decodes UNTRUSTED request bytes (serving): keep libpng's
+// default longjmp recovery but drop its stderr chatter per malformed body.
+void silent_error_cb(png_structp png, png_const_charp) {
+  longjmp(png_jmpbuf(png), 1);
+}
+void silent_warning_cb(png_structp, png_const_charp) {}
+
+}  // namespace
+
+// Decode in-memory PNG bytes into a malloc'd H*W*C uint8 buffer (same
+// normalisation as pngio_read). If max_pixels > 0 and the header announces
+// more than that many pixels, aborts BEFORE decompressing pixel data and
+// returns 6 (a small body can inflate to hundreds of MB decoded — servers
+// must bound it pre-decode). Returns 0 on success.
+int pngio_decode(const void* data, size_t len, long long max_pixels,
+                 int* out_h, int* out_w, int* out_c, void** out_buf) {
+  if (len < 8 ||
+      png_sig_cmp(static_cast<png_const_bytep>(data), 0, 8))
+    return 2;
+
+  png_structp png = png_create_read_struct(
+      PNG_LIBPNG_VER_STRING, nullptr, silent_error_cb, silent_warning_cb);
+  if (!png) return 3;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return 3;
+  }
+  unsigned char* buf = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    free(buf);
+    return 4;
+  }
+
+  MemReader reader{static_cast<const unsigned char*>(data), len, 0};
+  png_set_read_fn(png, &reader, mem_read_cb);
+  png_read_info(png, info);
+
+  png_uint_32 width = png_get_image_width(png, info);
+  png_uint_32 height = png_get_image_height(png, info);
+  if (max_pixels > 0 &&
+      static_cast<long long>(width) * static_cast<long long>(height) >
+          max_pixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    *out_h = static_cast<int>(height);
+    *out_w = static_cast<int>(width);
+    return 6;
+  }
+  png_byte color_type = png_get_color_type(png, info);
+  png_byte bit_depth = png_get_bit_depth(png, info);
+
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  int channels = png_get_channels(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  buf = static_cast<unsigned char*>(malloc(height * rowbytes));
+  if (!buf) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 5;
+  }
+
+  std::vector<png_bytep> rows(height);
+  for (png_uint_32 y = 0; y < height; ++y) rows[y] = buf + y * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+
+  *out_h = static_cast<int>(height);
+  *out_w = static_cast<int>(width);
+  *out_c = channels;
+  *out_buf = buf;
+  return 0;
+}
+
+// Encode an H*W*C uint8 buffer (C in {1,3}) into a malloc'd PNG byte buffer
+// (caller frees with pngio_free). `level` is the zlib compression level
+// (0-9); serving uses 1 — same throughput-over-ratio choice as pngio_write.
+int pngio_encode(const void* data, int h, int w, int c, int level,
+                 void** out_buf, size_t* out_len) {
+  if (c != 1 && c != 3) return 1;
+  png_structp png = png_create_write_struct(
+      PNG_LIBPNG_VER_STRING, nullptr, silent_error_cb, silent_warning_cb);
+  if (!png) return 3;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    return 3;
+  }
+  MemWriter writer{nullptr, 0, 0};
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    free(writer.data);
+    return 4;
+  }
+
+  png_set_write_fn(png, &writer, mem_write_cb, mem_flush_cb);
+  png_set_IHDR(png, info, w, h, 8,
+               c == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  if (level < 0) level = 0;
+  if (level > 9) level = 9;
+  png_set_compression_level(png, level);
+  png_write_info(png, info);
+
+  const auto* base = static_cast<const unsigned char*>(data);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(base + static_cast<size_t>(y) * w * c);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+
+  *out_buf = writer.data;
+  *out_len = writer.len;
+  return 0;
+}
+
 }  // extern "C"

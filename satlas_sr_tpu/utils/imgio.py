@@ -46,13 +46,25 @@ def read_png_bytes(data: bytes, max_pixels: int = 0) -> np.ndarray:
     """Decode in-memory PNG bytes to an HWC uint8 array (grayscale -> HW1).
 
     Serving-path helper (satlas_sr_tpu/serve.py): requests arrive as bytes,
-    not files, so this decodes via PIL from a BytesIO. The file-corpus CLIs
-    keep the native GIL-free batch decoder (read_png / read_png_many).
+    not files. The native GIL-free libpng codec (native/pngio.cpp
+    pngio_decode) is used when built — the HTTP host's core stays free for
+    request plumbing while decode runs native; PIL is the fallback.
 
     `max_pixels > 0` bounds the decoded size from the (cheap, header-only)
-    PIL open BEFORE pixel data is decompressed — a small PNG body can
-    inflate to hundreds of MB, so servers must cap it pre-decode.
+    open BEFORE pixel data is decompressed — a small PNG body can inflate to
+    hundreds of MB, so servers must cap it pre-decode.
     """
+    try:
+        native = _native_lib()
+    except Exception:
+        native = None
+    if native is not None and hasattr(native, "decode_png_bytes"):
+        # ImageTooLarge propagates (request error, not a codec gap).
+        arr = native.decode_png_bytes(data, max_pixels=max_pixels)
+        if arr is not None:
+            if arr.shape[-1] == 4:
+                arr = np.ascontiguousarray(arr[..., :3])
+            return arr
     import io
 
     from PIL import Image
@@ -72,7 +84,19 @@ def read_png_bytes(data: bytes, max_pixels: int = 0) -> np.ndarray:
 
 
 def encode_png_bytes(img: np.ndarray) -> bytes:
-    """Encode an HWC uint8 array as PNG bytes (in memory)."""
+    """Encode an HWC uint8 array as PNG bytes (in memory).
+
+    Native libpng at zlib level 1 when built (the same throughput-over-ratio
+    choice as write_png — serving responses are transient, not archives);
+    PIL fallback otherwise."""
+    try:
+        native = _native_lib()
+    except Exception:
+        native = None
+    if native is not None and hasattr(native, "encode_png_bytes"):
+        out = native.encode_png_bytes(img)
+        if out is not None:
+            return out
     import io
 
     from PIL import Image

@@ -1,0 +1,98 @@
+"""In-memory PNG codec tests: native libpng bytes path vs PIL.
+
+The serving daemon decodes untrusted request bytes and encodes responses via
+utils.imgio.{read_png_bytes,encode_png_bytes}; these pin the native
+(native/pngio.cpp pngio_decode/pngio_encode) and PIL paths to identical
+pixels, the header-stage max_pixels bound, and silent fallback on malformed
+input. Reference counterpart: none — ssr has no bytes codec (its CLIs only
+touch files via skimage, ssr/infer.py:42-54).
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from satlas_sr_tpu.utils import native_png
+from satlas_sr_tpu.utils.imgio import encode_png_bytes, read_png_bytes
+
+RNG = np.random.RandomState(7)
+
+needs_native = pytest.mark.skipif(
+    not native_png.available(), reason="native _pngio.so not built")
+
+
+def _pil_bytes(img: np.ndarray, mode=None) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(img, mode).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_bytes_roundtrip_rgb_matches_pil():
+    img = (RNG.rand(96, 64, 3) * 255).astype(np.uint8)
+    data = encode_png_bytes(img)
+    # Any compliant decoder must recover the exact pixels.
+    assert np.array_equal(np.asarray(Image.open(io.BytesIO(data))), img)
+    assert np.array_equal(read_png_bytes(data), img)
+
+
+def test_bytes_roundtrip_grayscale():
+    gray = (RNG.rand(40, 56) * 255).astype(np.uint8)
+    data = encode_png_bytes(gray[..., None])
+    out = read_png_bytes(data)
+    assert out.shape == (40, 56, 1)
+    assert np.array_equal(out[..., 0], gray)
+
+
+def test_bytes_decode_strips_alpha_and_palette():
+    rgba = (RNG.rand(24, 24, 4) * 255).astype(np.uint8)
+    assert np.array_equal(read_png_bytes(_pil_bytes(rgba, "RGBA")),
+                          rgba[..., :3])
+    pal = Image.fromarray((RNG.rand(16, 16, 3) * 255).astype(np.uint8)).quantize(32)
+    buf = io.BytesIO()
+    pal.save(buf, format="PNG")
+    assert np.array_equal(read_png_bytes(buf.getvalue()),
+                          np.asarray(pal.convert("RGB")))
+
+
+def test_bytes_decode_max_pixels_raises_before_decode():
+    img = np.zeros((128, 128, 3), np.uint8)
+    data = encode_png_bytes(img)
+    with pytest.raises(ValueError, match="pixel limit"):
+        read_png_bytes(data, max_pixels=100)
+    # At exactly the bound it decodes.
+    assert read_png_bytes(data, max_pixels=128 * 128).shape == (128, 128, 3)
+
+
+@needs_native
+def test_native_decode_malformed_returns_none_silently(capfd):
+    good = native_png.encode_png_bytes(np.zeros((8, 8, 3), np.uint8))
+    assert native_png.decode_png_bytes(good[:20]) is None
+    assert native_png.decode_png_bytes(b"not a png at all") is None
+    # Serving decodes untrusted bytes: no stderr chatter per bad request.
+    captured = capfd.readouterr()
+    assert "libpng" not in captured.err
+
+
+@needs_native
+def test_native_decode_strips_16bit_to_high_byte():
+    # PIL can't write 16-bit RGB; a 16-bit gray file exercises strip-16.
+    g16 = (RNG.rand(12, 12) * 65535).astype(np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(g16, "I;16").save(buf, format="PNG")
+    nat = native_png.decode_png_bytes(buf.getvalue())
+    assert nat is not None and nat.shape == (12, 12, 1)
+    # libpng strip-16 keeps the high byte.
+    assert np.array_equal(nat[..., 0], (g16 >> 8).astype(np.uint8))
+
+
+@needs_native
+def test_native_encode_level_trades_size():
+    img = np.asarray(Image.radial_gradient("L").resize((128, 128)))[..., None]
+    img = np.repeat(img, 3, axis=-1)
+    fast = native_png.encode_png_bytes(img, level=1)
+    small = native_png.encode_png_bytes(img, level=9)
+    assert len(small) <= len(fast)
+    for data in (fast, small):
+        assert np.array_equal(np.asarray(Image.open(io.BytesIO(data))), img)
