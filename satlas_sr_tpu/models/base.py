@@ -91,6 +91,15 @@ class BaseModel:
         train_opt = opt.get("train") or {}
         self._schedules: List[Callable] = []
         self.ema_decay = float(train_opt.get("ema_decay", 0) or 0)
+        # Checkpoint backend: 'native' single-file msgpack+crc (default), or
+        # 'orbax' (utils/orbax_io.py) for async commits + the TPU ecosystem's
+        # standard on-disk format. Same cadence/resume semantics either way.
+        self._ckpt_backend = str(train_opt.get("checkpoint_backend") or "native")
+        if self._ckpt_backend not in ("native", "orbax"):
+            raise ValueError(
+                f"train.checkpoint_backend must be 'native' or 'orbax', "
+                f"got {self._ckpt_backend!r}")
+        self._orbax: Optional[Any] = None
 
     # -- schedule / optimizer helpers ---------------------------------------
 
@@ -150,6 +159,7 @@ class BaseModel:
         if fn is None:
             return
         tag = "latest" if current_iter == -1 else str(current_iter)
+        os.makedirs(self.opt["path"]["models"], exist_ok=True)
         path = os.path.join(self.opt["path"]["models"], f"net_{net}_{tag}.pth")
         try:
             host = jax.device_get(variables)
@@ -171,6 +181,8 @@ class BaseModel:
             self.logger.warning(f"torch .pth export for net_{net} failed: {e}")
 
     def save(self, epoch: int, current_iter: int) -> None:
+        if self._ckpt_backend == "orbax":
+            return self._save_orbax(epoch, current_iter)
         if not is_main_process():
             return
         host_state = jax.device_get(self.state)
@@ -183,11 +195,74 @@ class BaseModel:
         state_path = os.path.join(self.opt["path"]["training_states"], f"{tag}.state")
         save_pytree(state_path, {"epoch": epoch, "iter": current_iter, "state": host_state})
 
+    def _orbax_io(self):
+        if self._orbax is None:
+            from ..utils.orbax_io import OrbaxCheckpointIO
+
+            train_opt = self.opt.get("train") or {}
+            self._orbax = OrbaxCheckpointIO(
+                os.path.join(self.opt["path"]["training_states"], "orbax"),
+                async_save=bool(train_opt.get("async_checkpoint", True)),
+            )
+        return self._orbax
+
+    def _save_orbax(self, epoch: int, current_iter: int) -> None:
+        # EVERY process calls save (orbax runs the commit barrier and decides
+        # who writes what); contrast the native path's rank-0-only early-out.
+        io = self._orbax_io()
+        step = (int(current_iter) if current_iter >= 0
+                else int(jax.device_get(self.state.get("step", 0))))
+        if io.latest_step() == step:
+            return  # final save(-1) right after a periodic save at this step
+        # One self-contained payload per step: the nets ride along so a
+        # consumer needs no companion net_*.msgpack files. `iter` records the
+        # resolved step (not -1) so a resume from the final save continues
+        # at the true iteration.
+        payload = {"epoch": int(epoch), "iter": step,
+                   "state": self.state, "nets": self.network_checkpoints()}
+        io.save(step, payload)
+        if is_main_process() and bool(
+                (self.opt.get("logger") or {}).get("save_pth", True)):
+            for net, variables in self.network_checkpoints().items():
+                self._export_pth(net, variables, current_iter)
+
+    def finish_checkpoints(self) -> None:
+        """Drain any in-flight async checkpoint commit (orbax backend).
+
+        Called at the train-pipeline exit points: an async save must land
+        while the process context is still alive, not race interpreter
+        teardown."""
+        if self._orbax is not None:
+            self._orbax.wait()
+
     def resume_training(self, state_path: str) -> Dict[str, int]:
+        if state_path == "orbax" or state_path.startswith("orbax:"):
+            _, _, step_s = state_path.partition(":")
+            return self._resume_orbax(int(step_s) if step_s else None)
         blob = load_pytree(state_path, {"epoch": 0, "iter": 0, "state": jax.device_get(self.state)})
         self.state = blob["state"]
         self.replicate_state()
         return {"epoch": int(blob["epoch"]), "iter": int(blob["iter"])}
+
+    def _resume_orbax(self, step: Optional[int] = None) -> Dict[str, int]:
+        # The template restores the PyTree STRUCTURE, not just the leaves —
+        # optax optimizer states are NamedTuples that a template-free restore
+        # would flatten to dicts (the native backend's from_bytes(target)
+        # equivalent).
+        template = {"epoch": 0, "iter": 0,
+                    "state": jax.device_get(self.state),
+                    "nets": jax.device_get(self.network_checkpoints())}
+        restored = self._orbax_io().restore(step, template=template)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no committed orbax checkpoint under "
+                f"{os.path.join(self.opt['path']['training_states'], 'orbax')}")
+        step, payload = restored
+        # `state` alone is authoritative (the payload's nets are derived
+        # views for inference consumers — same as the native .state file).
+        self.state = payload["state"]
+        self.replicate_state()
+        return {"epoch": int(payload["epoch"]), "iter": int(payload["iter"])}
 
     def load_pretrained(self, net_key: str = "network_g", path_key: str = "pretrain_network_g"):
         """Load pretrained generator/discriminator weights if configured."""

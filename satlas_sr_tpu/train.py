@@ -38,6 +38,12 @@ def find_resume_state(opt) -> Optional[str]:
         return explicit
     if not opt.get("auto_resume"):
         return None
+    if str((opt.get("train") or {}).get("checkpoint_backend") or "native") == "orbax":
+        from .utils.orbax_io import latest_committed_step
+
+        step = latest_committed_step(
+            os.path.join(opt["path"]["training_states"], "orbax"))
+        return None if step is None else f"orbax:{step}"
     state_dir = opt["path"]["training_states"]
     if not os.path.isdir(state_dir):
         return None
@@ -262,10 +268,12 @@ def train_pipeline(root_path: str, argv=None) -> None:
             signal.signal(signal.SIGTERM, prev_sigterm)
 
     if preempted:
+        model.finish_checkpoints()
         return
 
     logger.info("End of training. Saving the latest model.")
     model.save(epoch=-1, current_iter=-1)
+    model.finish_checkpoints()
     if val_freq:
         for val_loader in val_loaders:
             model.validation(
