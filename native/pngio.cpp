@@ -16,6 +16,56 @@
 #include <thread>
 #include <vector>
 
+namespace {
+
+// Normalise to 8-bit gray/RGB (alpha stripped) and read every row into a
+// malloc'd height*rowbytes buffer — the shared back half of the file and
+// in-memory decoders (png_read_info must already have run). Installs its own
+// longjmp target: a truncated IDAT longjmps out of png_read_image, which
+// would skip C++ destructors and leave non-volatile locals indeterminate, so
+// the pixel buffer and row-pointer array are plain malloc'd volatile slots
+// reclaimed here on error. Returns 0 on success (caller owns *out_buf),
+// 4 on decode error, 5 on OOM.
+int read_normalised_rows(png_structp png, png_infop info, int* out_c,
+                         unsigned char** out_buf) {
+  unsigned char* volatile buf = nullptr;
+  png_bytep* volatile rows = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    free(rows);
+    free(buf);
+    return 4;
+  }
+
+  png_byte color_type = png_get_color_type(png, info);
+  png_byte bit_depth = png_get_bit_depth(png, info);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  png_uint_32 height = png_get_image_height(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  buf = static_cast<unsigned char*>(malloc(height * rowbytes));
+  rows = static_cast<png_bytep*>(malloc(height * sizeof(png_bytep)));
+  if (!buf || !rows) {
+    free(rows);
+    free(buf);
+    return 5;
+  }
+  for (png_uint_32 y = 0; y < height; ++y) rows[y] = buf + y * rowbytes;
+  png_read_image(png, rows);
+  free(rows);
+
+  *out_c = png_get_channels(png, info);
+  *out_buf = buf;
+  return 0;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Decode `path` into a malloc'd H*W*C uint8 buffer. Returns 0 on success.
@@ -54,32 +104,13 @@ int pngio_read(const char* path, int* out_h, int* out_w, int* out_c,
 
   png_uint_32 width = png_get_image_width(png, info);
   png_uint_32 height = png_get_image_height(png, info);
-  png_byte color_type = png_get_color_type(png, info);
-  png_byte bit_depth = png_get_bit_depth(png, info);
 
-  // Normalise to 8-bit gray or RGB, alpha stripped.
-  if (bit_depth == 16) png_set_strip_16(png);
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
-    png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
-  png_read_update_info(png, info);
-
-  int channels = png_get_channels(png, info);
-  size_t rowbytes = png_get_rowbytes(png, info);
-  auto* buf = static_cast<unsigned char*>(malloc(height * rowbytes));
-  if (!buf) {
-    png_destroy_read_struct(&png, &info, nullptr);
-    fclose(fp);
-    return 5;
-  }
-
-  std::vector<png_bytep> rows(height);
-  for (png_uint_32 y = 0; y < height; ++y) rows[y] = buf + y * rowbytes;
-  png_read_image(png, rows.data());
+  int channels = 0;
+  unsigned char* buf = nullptr;
+  int rc = read_normalised_rows(png, info, &channels, &buf);
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(fp);
+  if (rc) return rc;
 
   *out_h = static_cast<int>(height);
   *out_w = static_cast<int>(width);
@@ -232,10 +263,8 @@ int pngio_decode(const void* data, size_t len, long long max_pixels,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return 3;
   }
-  unsigned char* buf = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
-    free(buf);
     return 4;
   }
 
@@ -253,29 +282,12 @@ int pngio_decode(const void* data, size_t len, long long max_pixels,
     *out_w = static_cast<int>(width);
     return 6;
   }
-  png_byte color_type = png_get_color_type(png, info);
-  png_byte bit_depth = png_get_bit_depth(png, info);
 
-  if (bit_depth == 16) png_set_strip_16(png);
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
-    png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
-  png_read_update_info(png, info);
-
-  int channels = png_get_channels(png, info);
-  size_t rowbytes = png_get_rowbytes(png, info);
-  buf = static_cast<unsigned char*>(malloc(height * rowbytes));
-  if (!buf) {
-    png_destroy_read_struct(&png, &info, nullptr);
-    return 5;
-  }
-
-  std::vector<png_bytep> rows(height);
-  for (png_uint_32 y = 0; y < height; ++y) rows[y] = buf + y * rowbytes;
-  png_read_image(png, rows.data());
+  int channels = 0;
+  unsigned char* buf = nullptr;
+  int rc = read_normalised_rows(png, info, &channels, &buf);
   png_destroy_read_struct(&png, &info, nullptr);
+  if (rc) return rc;
 
   *out_h = static_cast<int>(height);
   *out_w = static_cast<int>(width);

@@ -161,7 +161,8 @@ class ExportedEngine:
     executable); submitting other sizes works but compiles per shape.
     """
 
-    def __init__(self, path: str, batch_size: Optional[int] = None):
+    def __init__(self, path: str, batch_size: Optional[int] = None,
+                 default_batch_size: Optional[int] = None):
         import jax
         from jax import export as jax_export
 
@@ -178,8 +179,10 @@ class ExportedEngine:
         self._call = jax.jit(self._exp.call)
         self.use_3d = bool(self.meta["use_3d"])
         self.n_frames = int(self.meta["n_lr_images"])
+        # Precedence: explicit request > the artifact's pinned batch >
+        # caller's default (serve passes the config's batch_size) > 64.
         fixed = self.meta.get("batch_size")
-        self.batch_size = int(batch_size or fixed or 64)
+        self.batch_size = int(batch_size or fixed or default_batch_size or 64)
         if fixed is not None and self.batch_size != int(fixed):
             raise ValueError(
                 f"artifact has a fixed batch of {fixed}; requested "

@@ -330,7 +330,12 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
     if artifact:
         from .export import ExportedEngine
 
-        engine = ExportedEngine(artifact, batch_size=batch_size)
+        # Symbolic-batch artifacts have no pinned batch: fall back to the
+        # config's batch_size (same precedence the non-artifact branch uses)
+        # before ExportedEngine's default of 64. Fixed-batch artifacts keep
+        # their pin — the config default never conflicts with it.
+        engine = ExportedEngine(artifact, batch_size=batch_size,
+                                default_batch_size=opt.get("batch_size"))
         if engine.n_frames != n_frames:
             raise ValueError(
                 f"artifact expects n_lr_images={engine.n_frames}, the config "

@@ -19,12 +19,18 @@ def _native_lib():
     return native_png if native_png.available() else None
 
 
+def _native_or_none():
+    # The native module is optional (build.sh not run, stale .so, broken
+    # libpng): any failure here means "fall back to PIL", never an error.
+    try:
+        return _native_lib()
+    except Exception:
+        return None
+
+
 def read_png(path: str) -> np.ndarray:
     """Read a PNG into an HWC uint8 array (grayscale -> HW1)."""
-    try:
-        native = _native_lib()
-    except Exception:
-        native = None
+    native = _native_or_none()
     if native is not None:
         arr = native.read_png(path)
         if arr is not None:
@@ -54,10 +60,7 @@ def read_png_bytes(data: bytes, max_pixels: int = 0) -> np.ndarray:
     open BEFORE pixel data is decompressed — a small PNG body can inflate to
     hundreds of MB, so servers must cap it pre-decode.
     """
-    try:
-        native = _native_lib()
-    except Exception:
-        native = None
+    native = _native_or_none()
     if native is not None and hasattr(native, "decode_png_bytes"):
         # ImageTooLarge propagates (request error, not a codec gap).
         arr = native.decode_png_bytes(data, max_pixels=max_pixels)
@@ -89,10 +92,7 @@ def encode_png_bytes(img: np.ndarray) -> bytes:
     Native libpng at zlib level 1 when built (the same throughput-over-ratio
     choice as write_png — serving responses are transient, not archives);
     PIL fallback otherwise."""
-    try:
-        native = _native_lib()
-    except Exception:
-        native = None
+    native = _native_or_none()
     if native is not None and hasattr(native, "encode_png_bytes"):
         out = native.encode_png_bytes(img)
         if out is not None:
@@ -111,10 +111,7 @@ def encode_png_bytes(img: np.ndarray) -> bytes:
 def write_png(path: str, img: np.ndarray) -> None:
     """Write an HWC uint8 array as a PNG (creates parent dirs)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    try:
-        native = _native_lib()
-    except Exception:
-        native = None
+    native = _native_or_none()
     if native is not None and native.write_png(path, img):
         return
     from PIL import Image

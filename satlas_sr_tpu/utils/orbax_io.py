@@ -70,7 +70,9 @@ class OrbaxCheckpointIO:
         )
         # A process exiting mid-drain (SIGTERM preemption save, end of
         # train.py) must not tear the async write: block until committed.
-        atexit.register(self.wait)
+        # Last-resort only — finish_checkpoints() is the deliberate drain
+        # point; here a commit failure can only be reported, not raised.
+        atexit.register(self._wait_at_exit)
 
     def save(self, step: int, payload: Dict[str, Any]) -> None:
         self._mgr.save(int(step), args=self._ocp.args.StandardSave(payload))
@@ -99,12 +101,24 @@ class OrbaxCheckpointIO:
         return int(step), payload
 
     def wait(self) -> None:
+        """Block until the in-flight async commit lands.
+
+        A failed background write (disk full, serialization error) RAISES
+        here — finish_checkpoints() is exactly the place a preemption save
+        must surface its failure, not exit "cleanly" and auto-resume from a
+        stale step.
+        """
+        self._mgr.wait_until_finished()
+
+    def _wait_at_exit(self) -> None:
+        import sys
         try:
             self._mgr.wait_until_finished()
-        except Exception:  # already closed / interpreter teardown
-            pass
+        except Exception as e:  # already closed / interpreter teardown
+            print(f"[orbax] WARNING: async checkpoint drain at exit failed: "
+                  f"{e!r}", file=sys.stderr)
 
     def close(self) -> None:
-        atexit.unregister(self.wait)
+        atexit.unregister(self._wait_at_exit)
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -86,6 +86,20 @@ def test_export_symbolic_batch(tmp_path, rng):
         assert np.array_equal(loaded.run(x), engine.run(x))
 
 
+def test_export_batch_size_precedence(tmp_path):
+    # Symbolic artifact: explicit > caller default (serve passes the config's
+    # batch_size) > 64. Fixed artifact: the pin always wins over the default.
+    sym = str(tmp_path / "sym.ssrx")
+    export_artifact(_opt(), sym, symbolic_batch=True, platforms=("cpu",))
+    assert ExportedEngine(sym).batch_size == 64
+    assert ExportedEngine(sym, default_batch_size=8).batch_size == 8
+    assert ExportedEngine(sym, batch_size=5, default_batch_size=8).batch_size == 5
+
+    fixed = str(tmp_path / "fixed.ssrx")
+    export_artifact(_opt(batch_size=4), fixed, platforms=("cpu",))
+    assert ExportedEngine(fixed, default_batch_size=8).batch_size == 4
+
+
 def test_export_multiplatform_runs_on_cpu(tmp_path, rng):
     opt = _opt()
     path = str(tmp_path / "model_multi.ssrx")

@@ -88,6 +88,36 @@ def test_native_decode_strips_16bit_to_high_byte():
 
 
 @needs_native
+def test_native_decode_malformed_does_not_leak():
+    # Regression: pngio_decode's pre-fix error path free()d an indeterminate
+    # (register-restored nullptr) pointer after libpng's longjmp, leaking the
+    # full pixel buffer per truncated-IDAT request — ~150 MB over the 200
+    # decodes below. Subprocess-isolated so the parent's RSS peak (earlier
+    # tests, JAX compiles) can't mask the delta: maxrss only ratchets up.
+    import subprocess
+    import sys
+
+    script = """
+import resource
+import numpy as np
+from satlas_sr_tpu.utils import native_png
+img = np.random.RandomState(0).randint(0, 255, (512, 512, 3)).astype(np.uint8)
+good = native_png.encode_png_bytes(img)
+bad = good[: len(good) // 2]
+assert native_png.decode_png_bytes(bad) is None  # warm + sanity
+rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+for _ in range(200):
+    assert native_png.decode_png_bytes(bad) is None
+rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+print((rss1 - rss0) // 1024)
+"""
+    out = subprocess.run([sys.executable, "-c", script], check=True,
+                         capture_output=True, text=True)
+    grown_mb = int(out.stdout.strip())
+    assert grown_mb < 25, f"truncated-IDAT decodes leaked {grown_mb} MB"
+
+
+@needs_native
 def test_native_encode_level_trades_size():
     img = np.asarray(Image.radial_gradient("L").resize((128, 128)))[..., None]
     img = np.repeat(img, 3, axis=-1)

@@ -119,6 +119,34 @@ def test_discovery_sees_only_committed_steps(tmp_path):
     assert find_resume_state(opt) is None  # native path ignores orbax dirs
 
 
+def test_wait_propagates_commit_failure(tmp_path, rng):
+    """finish_checkpoints() must RAISE when the async commit failed — a
+    preemption save that silently vanished would auto-resume from a stale
+    step. Only the atexit drain (where raising is impossible) may swallow."""
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _orbax_opt(tmp_path, s2, naip)
+    model = build_model(opt)
+    io = model._orbax_io()
+
+    class _Boom(Exception):
+        pass
+
+    def _fail():
+        raise _Boom("background write failed")
+
+    orig = io._mgr.wait_until_finished
+    io._mgr.wait_until_finished = _fail
+    try:
+        with pytest.raises(_Boom):
+            model.finish_checkpoints()
+        # the atexit path reports instead of raising
+        io._wait_at_exit()
+    finally:
+        io._mgr.wait_until_finished = orig
+
+
 def test_train_cli_orbax_auto_resume(tmp_path, rng):
     """Full CLI: orbax checkpoints at save_checkpoint_freq, then
     --auto_resume continues from the committed step."""
