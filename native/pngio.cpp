@@ -43,7 +43,11 @@ int read_normalised_rows(png_structp png, png_infop info, int* out_c,
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // Unconditional: strips the source's own alpha AND the tRNS-derived one
+  // (a palette+tRNS image is PALETTE color_type — no ALPHA mask bit — yet
+  // expands to RGBA above; a conditional strip would leak 4 channels out of
+  // the "8-bit gray/RGB" contract). No-op when no alpha is present.
+  png_set_strip_alpha(png);
   png_read_update_info(png, info);
 
   png_uint_32 height = png_get_image_height(png, info);
@@ -166,8 +170,13 @@ int pngio_write(const char* path, const void* data, int h, int w, int c) {
     fclose(fp);
     return 3;
   }
+  // Same longjmp discipline as read_normalised_rows: rows is plain malloc
+  // behind a volatile slot so a mid-write libpng error neither skips a
+  // destructor nor frees an indeterminate pointer.
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
+    free(rows);
     fclose(fp);
     return 4;
   }
@@ -182,12 +191,18 @@ int pngio_write(const char* path, const void* data, int h, int w, int c) {
   png_write_info(png, info);
 
   const auto* base = static_cast<const unsigned char*>(data);
-  std::vector<png_bytep> rows(h);
+  rows = static_cast<png_bytep*>(malloc(h * sizeof(png_bytep)));
+  if (!rows) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return 5;
+  }
   for (int y = 0; y < h; ++y)
     rows[y] = const_cast<png_bytep>(base + static_cast<size_t>(y) * w * c);
-  png_write_image(png, rows.data());
+  png_write_image(png, rows);
   png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);
+  free(rows);
   fclose(fp);
   return 0;
 }
@@ -311,9 +326,19 @@ int pngio_encode(const void* data, int h, int w, int c, int level,
     return 3;
   }
   MemWriter writer{nullptr, 0, 0};
+  // `writer` is grown via realloc inside mem_write_cb after setjmp; reading
+  // it directly in the error path would read an indeterminate (possibly
+  // register-restored stale) value after longjmp. The volatile pointer
+  // forces a memory load of the CURRENT struct, so free() gets the live
+  // buffer, not a pre-realloc one (double-free) or setjmp-time nullptr
+  // (leak). rows follows the same malloc-behind-volatile discipline as
+  // read_normalised_rows.
+  MemWriter* volatile wp = &writer;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
-    free(writer.data);
+    free(rows);
+    free(wp->data);
     return 4;
   }
 
@@ -328,12 +353,18 @@ int pngio_encode(const void* data, int h, int w, int c, int level,
   png_write_info(png, info);
 
   const auto* base = static_cast<const unsigned char*>(data);
-  std::vector<png_bytep> rows(h);
+  rows = static_cast<png_bytep*>(malloc(h * sizeof(png_bytep)));
+  if (!rows) {
+    png_destroy_write_struct(&png, &info);
+    free(writer.data);
+    return 5;
+  }
   for (int y = 0; y < h; ++y)
     rows[y] = const_cast<png_bytep>(base + static_cast<size_t>(y) * w * c);
-  png_write_image(png, rows.data());
+  png_write_image(png, rows);
   png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);
+  free(rows);
 
   *out_buf = writer.data;
   *out_len = writer.len;

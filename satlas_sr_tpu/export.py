@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import zipfile
 from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
 
@@ -114,29 +115,41 @@ def export_artifact(
         "calling_convention": exported.calling_convention_version,
         "weights": opt.get("path", {}).get("pretrain_network_g") or "(seeded init)",
     }
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+    # Write-to-temp + rename-after-check: a failed bit-exactness check must
+    # not leave a known-bad (but valid-looking) artifact at the requested
+    # path for a deploy glob or retry to pick up.
+    tmp_path = out_path + ".tmp"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_META_NAME, json.dumps(meta, indent=1))
         z.writestr(_MODULE_NAME, payload)
-
-    if check:
-        backend = jax.default_backend()
-        if backend not in exported.platforms:
-            print(f"check skipped: current backend '{backend}' not in "
-                  f"exported platforms {list(exported.platforms)}")
-        else:
-            loaded = ExportedEngine(out_path, batch_size=engine.batch_size)
-            rng = np.random.RandomState(0)
-            # `dims` is already the engine's per-sample input shape (5-D
-            # frame-split for use_3d models), so one batch drives both paths.
-            x = (rng.rand(engine.batch_size, *dims) * 255).astype(np.uint8)
-            ref = engine.run(x)
-            got = loaded.run(x)
-            if not np.array_equal(ref, got):
-                raise AssertionError(
-                    "exported artifact output differs from the live engine")
-            meta["checked"] = True
-            print(f"check ok: artifact matches the live engine bit-exactly "
-                  f"on a random batch ({backend})")
+    try:
+        if check:
+            backend = jax.default_backend()
+            if backend not in exported.platforms:
+                print(f"check skipped: current backend '{backend}' not in "
+                      f"exported platforms {list(exported.platforms)}")
+            else:
+                loaded = ExportedEngine(tmp_path, batch_size=engine.batch_size)
+                rng = np.random.RandomState(0)
+                # `dims` is already the engine's per-sample input shape (5-D
+                # frame-split for use_3d models), so one batch drives both
+                # paths.
+                x = (rng.rand(engine.batch_size, *dims) * 255).astype(np.uint8)
+                ref = engine.run(x)
+                got = loaded.run(x)
+                if not np.array_equal(ref, got):
+                    raise AssertionError(
+                        "exported artifact output differs from the live engine")
+                meta["checked"] = True
+                print(f"check ok: artifact matches the live engine bit-exactly "
+                      f"on a random batch ({backend})")
+        os.replace(tmp_path, out_path)
+    except BaseException:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise
     return meta
 
 

@@ -99,6 +99,16 @@ class BaseModel:
             raise ValueError(
                 f"train.checkpoint_backend must be 'native' or 'orbax', "
                 f"got {self._ckpt_backend!r}")
+        if self._ckpt_backend == "orbax":
+            # Fail at model build, not save_checkpoint_freq iterations in:
+            # a missing orbax would otherwise surface as an ImportError out
+            # of the FIRST save, hours into a run with zero checkpoints.
+            import importlib.util
+            if importlib.util.find_spec("orbax.checkpoint") is None:
+                raise ValueError(
+                    "train.checkpoint_backend: orbax requires the "
+                    "orbax-checkpoint package, which is not importable on "
+                    "this host (use the default 'native' backend instead)")
         self._orbax: Optional[Any] = None
 
     # -- schedule / optimizer helpers ---------------------------------------
@@ -193,7 +203,13 @@ class BaseModel:
                 self._export_pth(net, variables, current_iter)
         tag = "latest" if current_iter == -1 else str(current_iter)
         state_path = os.path.join(self.opt["path"]["training_states"], f"{tag}.state")
-        save_pytree(state_path, {"epoch": epoch, "iter": current_iter, "state": host_state})
+        # `iter` records the RESOLVED step (same as the orbax backend): a
+        # latest.state carrying -1 would make auto-resume of a completed
+        # short run (total_iter < save_checkpoint_freq, so latest.state is
+        # the only candidate) silently retrain from scratch.
+        step = (int(current_iter) if current_iter >= 0
+                else int(jax.device_get(self.state.get("step", 0))))
+        save_pytree(state_path, {"epoch": epoch, "iter": step, "state": host_state})
 
     def _orbax_io(self):
         if self._orbax is None:
@@ -212,15 +228,18 @@ class BaseModel:
         io = self._orbax_io()
         step = (int(current_iter) if current_iter >= 0
                 else int(jax.device_get(self.state.get("step", 0))))
-        if io.latest_step() == step:
-            return  # final save(-1) right after a periodic save at this step
-        # One self-contained payload per step: the nets ride along so a
-        # consumer needs no companion net_*.msgpack files. `iter` records the
-        # resolved step (not -1) so a resume from the final save continues
-        # at the true iteration.
-        payload = {"epoch": int(epoch), "iter": step,
-                   "state": self.state, "nets": self.network_checkpoints()}
-        io.save(step, payload)
+        if io.latest_step() != step:
+            # One self-contained payload per step: the nets ride along so a
+            # consumer needs no companion net_*.msgpack files. `iter` records
+            # the resolved step (not -1) so a resume from the final save
+            # continues at the true iteration. Skipped when the final
+            # save(-1) lands right after a periodic save at this step.
+            payload = {"epoch": int(epoch), "iter": step,
+                       "state": self.state, "nets": self.network_checkpoints()}
+            io.save(step, payload)
+        # The .pth mirror is NOT deduped: the final save names it
+        # net_*_latest.pth — an alias the step-numbered periodic save did not
+        # produce, and one the native backend always guarantees.
         if is_main_process() and bool(
                 (self.opt.get("logger") or {}).get("save_pth", True)):
             for net, variables in self.network_checkpoints().items():

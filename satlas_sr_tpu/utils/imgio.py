@@ -61,12 +61,11 @@ def read_png_bytes(data: bytes, max_pixels: int = 0) -> np.ndarray:
     hundreds of MB, so servers must cap it pre-decode.
     """
     native = _native_or_none()
-    if native is not None and hasattr(native, "decode_png_bytes"):
-        # ImageTooLarge propagates (request error, not a codec gap).
+    if native is not None:
+        # ImageTooLarge propagates (request error, not a codec gap). The C
+        # codec strips every alpha source (incl. palette tRNS): gray/RGB only.
         arr = native.decode_png_bytes(data, max_pixels=max_pixels)
         if arr is not None:
-            if arr.shape[-1] == 4:
-                arr = np.ascontiguousarray(arr[..., :3])
             return arr
     import io
 
@@ -93,7 +92,7 @@ def encode_png_bytes(img: np.ndarray) -> bytes:
     choice as write_png — serving responses are transient, not archives);
     PIL fallback otherwise."""
     native = _native_or_none()
-    if native is not None and hasattr(native, "encode_png_bytes"):
+    if native is not None:
         out = native.encode_png_bytes(img)
         if out is not None:
             return out

@@ -111,6 +111,19 @@ def test_export_multiplatform_runs_on_cpu(tmp_path, rng):
     assert np.array_equal(loaded.run(x), engine.run(x))
 
 
+def test_export_failed_check_leaves_no_artifact(tmp_path, monkeypatch):
+    # A failed bit-exactness check must not leave a valid-looking artifact at
+    # the requested path (deploy globs / retries would ship the bad program).
+    import satlas_sr_tpu.export as export_mod
+
+    path = str(tmp_path / "bad.ssrx")
+    monkeypatch.setattr(export_mod.np, "array_equal", lambda *a, **k: False)
+    with pytest.raises(AssertionError, match="differs from the live engine"):
+        export_artifact(_opt(), path, platforms=("cpu",), check=True)
+    assert not (tmp_path / "bad.ssrx").exists()
+    assert not (tmp_path / "bad.ssrx.tmp").exists()
+
+
 def test_export_platform_refusal(tmp_path):
     path = str(tmp_path / "model_tpu.ssrx")
     export_artifact(_opt(), path, platforms=("tpu",))

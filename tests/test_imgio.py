@@ -56,6 +56,24 @@ def test_bytes_decode_strips_alpha_and_palette():
                           np.asarray(pal.convert("RGB")))
 
 
+def test_palette_trns_decodes_to_rgb_on_all_paths(tmp_path):
+    # A palette+tRNS PNG is PALETTE color_type (no alpha mask bit) yet
+    # expands to RGBA in libpng; the codec must strip the derived alpha so
+    # 4 channels never escape — the file path (imgio.read_png) used to
+    # return HW4 here while the bytes path returned HW3.
+    pal = Image.fromarray((RNG.rand(16, 16, 3) * 255).astype(np.uint8)).quantize(32)
+    buf = io.BytesIO()
+    pal.save(buf, format="PNG", transparency=0)
+    data = buf.getvalue()
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))[..., :3]
+
+    assert np.array_equal(read_png_bytes(data), want)
+    p = tmp_path / "trns.png"
+    p.write_bytes(data)
+    from satlas_sr_tpu.utils.imgio import read_png
+    assert np.array_equal(read_png(str(p)), want)
+
+
 def test_bytes_decode_max_pixels_raises_before_decode():
     img = np.zeros((128, 128, 3), np.uint8)
     data = encode_png_bytes(img)

@@ -95,6 +95,28 @@ def test_orbax_final_save_dedups_current_step(tmp_path, rng):
     assert latest_committed_step(root) == 1
     steps = [n for n in os.listdir(root) if n.isdigit()]
     assert steps == ["1"]
+    # the dedup skips only the orbax write — the final save's *_latest.pth
+    # mirror (an alias the periodic save never produced, and one the native
+    # backend always guarantees) must still appear
+    assert os.path.exists(os.path.join(opt["path"]["models"], "net_g_latest.pth"))
+
+
+def test_orbax_backend_refused_when_not_importable(tmp_path, rng, monkeypatch):
+    # Missing orbax must fail at model BUILD, not save_checkpoint_freq
+    # iterations into the run (the lazy _orbax_io import site).
+    import importlib.util
+
+    from satlas_sr_tpu.models import build_model
+
+    real_find_spec = importlib.util.find_spec
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a, **k: None if name == "orbax.checkpoint"
+        else real_find_spec(name, *a, **k))
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _orbax_opt(tmp_path, s2, naip)
+    with pytest.raises(ValueError, match="orbax-checkpoint package"):
+        build_model(opt)
 
 
 def test_discovery_sees_only_committed_steps(tmp_path):

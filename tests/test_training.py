@@ -158,6 +158,36 @@ def test_esrgan_train_step_and_resume(tmp_path, rng):
     assert np.isfinite(logs3["l_g_pix"])
 
 
+def test_final_save_latest_state_records_resolved_iter(tmp_path, rng):
+    # The end-of-training save(-1, -1) writes latest.state; it must record
+    # the TRUE step, not -1 — when total_iter < save_checkpoint_freq,
+    # latest.state is the only resume candidate and an iter of -1 would make
+    # auto_resume silently retrain the completed run from scratch.
+    from satlas_sr_tpu.models import build_model
+    from satlas_sr_tpu.train import find_resume_state
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    model = build_model(opt)
+    batch = {
+        "lr": (rng.rand(2, 32, 32, 6) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    model.train_iter(batch, 1)
+    model.train_iter(batch, 2)
+    model.save(epoch=-1, current_iter=-1)
+    state_path = os.path.join(opt["path"]["training_states"], "latest.state")
+    assert os.path.exists(state_path)
+
+    found = find_resume_state({"auto_resume": True, "train": {},
+                               "path": {"training_states":
+                                        opt["path"]["training_states"]}})
+    assert found == state_path
+    model2 = build_model(opt)
+    info = model2.resume_training(found)
+    assert info["iter"] == 2  # resolved step, not -1
+
+
 def test_esrgan_net_d_init_iters_gates_g(tmp_path, rng):
     from satlas_sr_tpu.models import build_model
 
