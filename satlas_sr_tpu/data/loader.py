@@ -33,6 +33,13 @@ def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+class _WorkerError:
+    """Queue marker relaying a prefetch worker's exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchLoader:
     """Iterates batches assembled by background threads from an index sampler."""
 
@@ -82,19 +89,31 @@ class PrefetchLoader:
             return sample_fn(index, salt)
         return self.dataset[index]
 
-    def _worker(self) -> None:
+    def _put(self, item) -> None:
+        # Blocking put that still honors stop(): workers parked on a full
+        # queue must exit when the loader shuts down.
         while not self._stop.is_set():
-            indices = self._next_indices()
-            if indices is None:
-                self._queue.put(None)
+            try:
+                self._queue.put(item, timeout=0.2)
                 return
-            batch = self.collate([self._load(i, salt) for i, salt in indices])
+            except queue.Full:
+                continue
+
+    def _worker(self) -> None:
+        try:
             while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
+                indices = self._next_indices()
+                if indices is None:
+                    self._queue.put(None)
+                    return
+                batch = self.collate([self._load(i, salt) for i, salt in indices])
+                self._put(batch)
+        except BaseException as e:  # noqa: BLE001 - relayed to the consumer
+            # A dying worker must surface, not starve the training loop: an
+            # unhandled load/collate error (corrupt png, dataset exhausted
+            # its skip budget) used to kill the daemon thread silently and
+            # leave __iter__ blocked on queue.get() forever.
+            self._put(_WorkerError(e))
 
     def start(self) -> "PrefetchLoader":
         for _ in range(self.num_workers):
@@ -136,6 +155,11 @@ class PrefetchLoader:
                 if finished >= self.num_workers:
                     return
                 continue
+            if isinstance(item, _WorkerError):
+                self.stop()
+                raise RuntimeError(
+                    "PrefetchLoader worker failed while loading a batch"
+                ) from item.exc
             yield item
 
 

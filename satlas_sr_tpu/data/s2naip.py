@@ -155,13 +155,22 @@ class S2NAIPDataset:
         )
 
     def _load_bands(self, s2_paths: List[str]) -> Optional[np.ndarray]:
-        """-> [T, 32, 32, C_total] uint8 or None on failure."""
+        """-> [T, 32, 32, C_total] uint8 or None on failure.
+
+        Reference parity (s2-naip_dataset.py:184-199): a MISSING band file
+        becomes zeros with exactly n_s2_images frames; the per-band stacks
+        then concatenate on channels, which requires every band to carry the
+        SAME frame count — any mismatch (a band png shorter/longer than tci,
+        or a missing band next to a tci whose length != n_s2_images) raised
+        out of the reference's torch.cat into its bare-except skip path, so
+        here it returns None and the chip is skipped. Do not "repair" by
+        truncating/padding: that would train on chips the reference drops.
+        """
         per_band = []
-        n_frames = None
         for i, path in enumerate(s2_paths):
-            is_tci = i == 0
+            c = 3 if i == 0 else 1
             if not os.path.exists(path):
-                per_band.append(None)
+                per_band.append(np.zeros((self.n_s2_images, 32, 32, c), np.uint8))
                 continue
             try:
                 img = read_png(path)  # [T*32, 32, C]
@@ -169,26 +178,11 @@ class S2NAIPDataset:
                 return None
             if img.shape[0] % 32 != 0 or img.shape[1] != 32:
                 return None
-            frames = img.reshape(-1, 32, 32, img.shape[-1])
-            per_band.append(frames)
-            if is_tci:
-                n_frames = frames.shape[0]
-        if n_frames is None:
-            n_frames = self.n_s2_images
-        out = []
-        for i, frames in enumerate(per_band):
-            c = 3 if i == 0 else 1
-            if frames is None:
-                frames = np.zeros((n_frames, 32, 32, c), np.uint8)
-            elif frames.shape[0] != n_frames:
-                # band length mismatch: truncate/zero-pad to the tci length
-                if frames.shape[0] > n_frames:
-                    frames = frames[:n_frames]
-                else:
-                    pad = np.zeros((n_frames - frames.shape[0], 32, 32, frames.shape[-1]), np.uint8)
-                    frames = np.concatenate([frames, pad], axis=0)
-            out.append(frames)
-        return np.concatenate(out, axis=-1)
+            per_band.append(img.reshape(-1, 32, 32, img.shape[-1]))
+        n_frames = per_band[0].shape[0]
+        if any(frames.shape[0] != n_frames for frames in per_band):
+            return None
+        return np.concatenate(per_band, axis=-1)
 
     def sample(self, index: int, salt: int) -> Dict[str, Any]:
         """Load an item with an explicit RNG salt.

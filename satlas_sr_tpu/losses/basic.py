@@ -87,13 +87,14 @@ def gan_loss(
             label = real_label_val if target_is_real else fake_label_val
             loss = jnp.mean(jnp.square(logits - label))
         elif gan_type == "hinge":
+            # No early return: basicsr applies loss_weight to the generator
+            # branch of EVERY gan_type via the shared epilogue below.
             if is_disc:
                 loss = jnp.mean(jax.nn.relu(1.0 - logits)) if target_is_real else jnp.mean(
                     jax.nn.relu(1.0 + logits)
                 )
             else:
                 loss = -jnp.mean(logits)
-            return loss
         elif gan_type == "wgan":
             loss = -jnp.mean(logits) if target_is_real else jnp.mean(logits)
         else:

@@ -162,9 +162,13 @@ def _build_lpips(model_name: str, weights_path: Optional[str]):
 
     @jax.jit
     def distance(a: jax.Array, b: jax.Array) -> jax.Array:
-        # inputs NHWC in [0, 1] -> [-1, 1] -> lpips scaling
-        a = ((a * 2.0 - 1.0) - shift) / scale
-        b = ((b * 2.0 - 1.0) - shift) / scale
+        # Inputs NHWC in [0, 1] go STRAIGHT into the lpips scaling layer —
+        # no [-1, 1] remap. The lpips package only applies 2x-1 under
+        # normalize=True, and the reference calls lpips.LPIPS on img/255
+        # with normalize left False (ssr/metrics/lpips.py:16-21); parity
+        # means reproducing that exact (mis)scaling.
+        a = (a - shift) / scale
+        b = (b - shift) / scale
         fa = _backbone_features(plan, convs, a)
         fb = _backbone_features(plan, convs, b)
         total = 0.0

@@ -69,8 +69,14 @@ def ema_update(ema: Any, params: Any, decay: float) -> Any:
 
 
 def to_uint8(img_float: jax.Array) -> jax.Array:
-    """[0,1] float NHWC -> uint8, on device (tensor2img analog)."""
-    return (jnp.clip(img_float.astype(jnp.float32), 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    """[0,1] float NHWC -> uint8, on device (tensor2img analog).
+
+    rint, not truncation: basicsr's tensor2img does (img * 255.0).round()
+    before the uint8 cast — truncating would darken every saved image and
+    metric input by ~0.5/255 systematically vs the reference oracle.
+    """
+    x = jnp.clip(img_float.astype(jnp.float32), 0.0, 1.0) * 255.0
+    return jnp.rint(x).astype(jnp.uint8)
 
 
 class BaseModel:

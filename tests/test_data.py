@@ -77,19 +77,39 @@ def test_dataset_skips_black_naip(tmp_path, rng):
 
 
 def test_dataset_multiband_and_missing_band(tmp_path, rng):
-    s2, naip = _make_tree(tmp_path, rng, bands=("tci", "b05", "b06"))
-    # remove one band file for chip 0 -> zero-filled
-    removed = None
+    # The reference zero-fills a MISSING band with exactly n_s2_images
+    # frames (s2-naip_dataset.py:186-187), so zero-fill only survives its
+    # torch.cat when tci's length equals n_s2_images — build the tree that
+    # way here; the mismatched case is the skip test below.
+    s2, naip = _make_tree(tmp_path, rng, frames=4, bands=("tci", "b05", "b06"))
     for chip in sorted(os.listdir(s2)):
-        removed = os.path.join(s2, chip, "b06.png")
-        os.remove(removed)
+        os.remove(os.path.join(s2, chip, "b06.png"))
         break
     ds = S2NAIPDataset(_opt(s2, naip, s2_bands=["b05", "tci", "b06"]))
     sample = ds[0]
+    assert sample["Chip"] == "1000_2000"  # kept, not skipped
     # tci forced first: channels per frame = 3 + 1 + 1
     assert sample["lr"].shape == (32, 32, 4 * 5)
     zero_band = sample["lr"][..., 4]  # frame0: [tci, tci, tci, b05, b06]
     assert zero_band.sum() == 0
+
+
+def test_dataset_band_frame_mismatch_skips_chip(tmp_path, rng):
+    # tci carries 6 frames but a missing band zero-fills at n_s2_images=4:
+    # the reference's torch.cat raises into its bare-except skip path
+    # (s2-naip_dataset.py:184-199) — the chip must be SKIPPED, never
+    # "repaired" by truncating/padding the shorter band.
+    s2, naip = _make_tree(tmp_path, rng, frames=6, bands=("tci", "b05"))
+    os.remove(os.path.join(s2, "1000_2000", "b05.png"))
+    ds = S2NAIPDataset(_opt(s2, naip, s2_bands=["tci", "b05"]))
+    sample = ds[0]
+    assert sample["Chip"] != "1000_2000"  # advanced past the broken chip
+
+    # a PRESENT band whose own length differs from tci's is equally broken
+    img = (rng.rand(3 * 32, 32, 1) * 254 + 1).astype(np.uint8)
+    write_png(os.path.join(s2, "1001_2001", "b05.png"), img)
+    sample = ds.sample(1, salt=0)
+    assert sample["Chip"] != "1001_2001"
 
 
 def test_dataset_rand_crop(tmp_path, rng):
@@ -210,6 +230,29 @@ def test_prefetch_loader_restarts_finite_sampler(tmp_path, rng):
     assert sum(b["hr"].shape[0] for b in first) == 4
     second = list(loader)  # restarts workers for a fresh pass
     assert sum(b["hr"].shape[0] for b in second) == 4
+    loader.stop()
+
+
+def test_prefetch_loader_raises_on_worker_failure():
+    """A worker that dies loading must surface as an exception from the
+    iterator — it used to kill the daemon thread silently, leaving the
+    training loop blocked on queue.get() forever."""
+
+    class BoomDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, index):
+            raise ValueError("corrupt sample")
+
+    class FiniteSampler:
+        def __iter__(self):
+            return iter(range(4))
+
+    loader = PrefetchLoader(BoomDataset(), FiniteSampler(), batch_size=2,
+                            num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(loader))
     loader.stop()
 
 

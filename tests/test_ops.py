@@ -117,3 +117,38 @@ def test_usm_sharp_properties(rng):
     step = step * 0.6 + 0.2
     sharp = np.asarray(usm_sharp(jnp.asarray(step)))
     assert sharp[0, 32, 33, 0] - sharp[0, 32, 30, 0] > step[0, 32, 33, 0] - step[0, 32, 30, 0]
+
+
+def test_to_uint8_rounds_like_tensor2img(rng):
+    # basicsr tensor2img does (img * 255.0).round() before the uint8 cast;
+    # truncation would darken every pixel with fractional part >= .5 by one
+    # LSB and systematically bias all saved images and metric inputs.
+    from satlas_sr_tpu.models.base import to_uint8
+
+    x = rng.rand(2, 8, 8, 3).astype(np.float32)
+    x[0, 0, 0, 0] = np.float32(178.7 / 255.0)  # frac > .5: round 179, trunc 178
+    x[0, 0, 1, 0] = 1.2  # clips to 255
+    want = np.round(np.clip(x, 0, 1) * np.float32(255.0)).astype(np.uint8)
+    got = np.asarray(to_uint8(jnp.asarray(x)))
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, want)
+
+
+def test_gan_loss_weight_applied_to_all_types(rng):
+    # basicsr's GANLoss applies loss_weight on the generator branch of EVERY
+    # gan_type via its shared `loss if is_disc else loss * loss_weight`
+    # epilogue — hinge included (a hinge generator term 10x stronger than
+    # configured destabilizes the recipe).
+    from satlas_sr_tpu.losses.basic import gan_loss
+
+    logits = jnp.asarray(rng.randn(2, 4, 4, 1).astype(np.float32))
+    for gan_type in ("vanilla", "lsgan", "hinge", "wgan"):
+        w = gan_loss(gan_type=gan_type, loss_weight=0.1)
+        u = gan_loss(gan_type=gan_type, loss_weight=1.0)
+        g_w = float(w(logits, True, is_disc=False))
+        g_u = float(u(logits, True, is_disc=False))
+        assert np.isclose(g_w, 0.1 * g_u), gan_type
+        # discriminator branch is never scaled
+        d_w = float(w(logits, True, is_disc=True))
+        d_u = float(u(logits, True, is_disc=True))
+        assert np.isclose(d_w, d_u), gan_type

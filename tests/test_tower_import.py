@@ -260,7 +260,9 @@ def _lpips_oracle(state, flavor, a01, b01):
         taps = {1, 3, 6, 9, 12}
 
     def feats(x):
-        h = ((x * 2 - 1) - shift) / scale
+        # normalize=False path: the [0,1] input hits the scaling layer raw
+        # (the reference never sets normalize=True — see metrics/lpips.py)
+        h = (x - shift) / scale
         out = []
         for ci, idx in enumerate(idxs):
             s, p = convargs[ci]
