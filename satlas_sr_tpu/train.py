@@ -63,6 +63,29 @@ def find_resume_state(opt) -> Optional[str]:
     return None
 
 
+def _broadcast_resume_decision(path: Optional[str]) -> Optional[str]:
+    """Make every rank use rank 0's fresh-vs-resume decision.
+
+    Ranks can see different filesystem states (a .state mid-write passing the
+    integrity check on one host only, or non-shared experiment dirs): a rank
+    that found no state enters make_exp_dirs' archive barrier while the
+    others skip it — a deadlock — and even without the barrier, divergent
+    start_iters desync the lockstep stop-poll/step collectives. If rank 0's
+    choice names a file another rank cannot read, the resume fails LOUDLY
+    there, which beats either silent desync or a hang.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(1024, np.uint8)
+    if path:
+        raw = path.encode()[:1024]
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    decoded = bytes(out).rstrip(b"\x00").decode()
+    return decoded or None
+
+
 def train_pipeline(root_path: str, argv=None) -> None:
     from .utils.jax_cache import enable_compilation_cache
 
@@ -71,6 +94,8 @@ def train_pipeline(root_path: str, argv=None) -> None:
     opt["root_path"] = root_path
 
     resume_state_path = find_resume_state(opt)
+    if int(opt.get("world_size", 1) or 1) > 1:
+        resume_state_path = _broadcast_resume_decision(resume_state_path)
     if resume_state_path is None:
         # fresh run: archive a pre-existing experiment dir instead of
         # overwriting it (basicsr mkdir_and_rename parity, ssr/train.py:41-45)
@@ -118,9 +143,12 @@ def train_pipeline(root_path: str, argv=None) -> None:
     import jax
 
     total_iters = int(opt["train"]["total_iter"])
+    # Global consumption per iteration: every process feeds
+    # batch_size_per_gpu * local_device_count rows from its rank-sharded
+    # sampler, so the epoch bookkeeping must count all world_size hosts.
     batch_per_step = (
         int(train_ds_opt.get("batch_size_per_gpu", 16)) * accum
-        * jax.local_device_count()
+        * jax.local_device_count() * int(opt["world_size"])
     )
     iters_per_epoch = max(len(train_set) // max(batch_per_step, 1), 1)
 
@@ -146,6 +174,10 @@ def train_pipeline(root_path: str, argv=None) -> None:
     profile_opt = opt["logger"].get("profile") or {}
     profile_start = int(profile_opt.get("start_iter", 0) or 0)
     profile_iters = int(profile_opt.get("num_iters", 0) or 0)
+    # First iteration this run executes is start_iter+1: clamp the trigger so
+    # the default start_iter: 0 (or a resume past it) still fires instead of
+    # silently never profiling.
+    profile_trigger = max(profile_start, start_iter + 1)
     profile_dir = profile_opt.get(
         "dir", os.path.join(opt["path"]["log"], "profile")
     )
@@ -226,13 +258,13 @@ def train_pipeline(root_path: str, argv=None) -> None:
             # (Frame/crop resampling across repeated chip visits is handled by
             # the loader's deterministic per-draw salt — see PrefetchLoader.)
 
-            if profile_iters and current_iter == profile_start and not profiling:
+            if profile_iters and current_iter == profile_trigger and not profiling:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
 
             model.train_iter(batch, current_iter)
 
-            if profiling and current_iter >= profile_start + profile_iters:
+            if profiling and current_iter >= profile_trigger + profile_iters:
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info(f"Profiler trace written to {profile_dir}")

@@ -116,9 +116,25 @@ def load_network_variables(
     arch_opt: Optional[Dict] = None,
     param_key: Optional[str] = "params_ema",
 ) -> Dict[str, Any]:
-    """Load network variables from either a native .msgpack or a torch .pth."""
+    """Load network variables from either a native .msgpack or a torch .pth.
+
+    Both branches honor `param_key` with the same params_ema -> params
+    fallback: a saved net_g .msgpack carries BOTH collections, and returning
+    it raw would make model.apply() silently read the raw (non-EMA) weights
+    while the .pth import of the same run correctly extracts EMA. Auxiliary
+    collections (e.g. the discriminator's 'spectral') ride along untouched.
+    """
     if path.endswith((".msgpack", ".ckpt")):
-        return load_pytree(path)
+        blob = load_pytree(path)
+        if not param_key or not isinstance(blob, dict):
+            return blob
+        for key in (param_key, "params_ema", "params"):
+            if key in blob:
+                out = {k: v for k, v in blob.items()
+                       if k not in ("params", "params_ema")}
+                out["params"] = blob[key]
+                return out
+        return blob
     from .torch_io import import_torch_checkpoint
 
     return import_torch_checkpoint(arch_type, path, arch_opt, param_key)

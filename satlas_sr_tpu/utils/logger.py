@@ -22,19 +22,25 @@ from typing import Any, Dict, Optional
 
 def get_root_logger(log_file: Optional[str] = None, name: str = "satlas_sr_tpu"):
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s %(levelname)s: %(message)s", "%Y-%m-%d %H:%M:%S")
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        logger.propagate = False
+    # Attach the file handler even when the logger already exists: an early
+    # warning (e.g. find_resume_state skipping a torn .state before
+    # train_pipeline configures logging) must not cost the whole run its log
+    # file. Idempotent per path — re-calls with the same file are no-ops.
     if log_file:
-        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
-        fh = logging.FileHandler(log_file)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
-    logger.propagate = False
+        have = {h.baseFilename for h in logger.handlers
+                if isinstance(h, logging.FileHandler)}
+        if os.path.abspath(log_file) not in have:
+            os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 

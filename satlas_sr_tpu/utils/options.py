@@ -104,13 +104,16 @@ def parse_options(root_path: str, is_train: bool = True, argv=None):
     opt["dist"] = args.launcher != "none"
     opt["rank"], opt["world_size"] = init_distributed(args.launcher)
 
+    # Overrides FIRST: `--force_yml manual_seed=N` must feed the derived
+    # seed_with_rank below, or model seeding (manual_seed) and data-order
+    # seeding (seed_with_rank) silently disagree.
+    apply_force_yml(opt, args.force_yml)
+
     seed = opt.get("manual_seed")
     if seed is None:
         seed = random.randint(1, 10000)
         opt["manual_seed"] = seed
     opt["seed_with_rank"] = seed + opt["rank"]
-
-    apply_force_yml(opt, args.force_yml)
 
     opt["auto_resume"] = args.auto_resume
     opt["is_train"] = is_train

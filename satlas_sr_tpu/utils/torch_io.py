@@ -196,6 +196,13 @@ def srcnn_from_torch(state: Dict[str, np.ndarray], residual_layers: int = 1) -> 
     return {"params": params}
 
 
+def _pixelshuffle_block_to_torch(p: Dict[str, Any], out: Dict[str, np.ndarray]):
+    _conv_back(p["conv1"], out, "sr.upsample.1")
+    out["sr.upsample.3.weight"] = np.asarray(p["prelu1"]["weight"])
+    _conv_back(p["conv2"], out, "sr.upsample.4")
+    out["sr.upsample.6.weight"] = np.asarray(p["prelu2"]["weight"])
+
+
 def srcnn_to_torch(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     params = variables["params"]
     out: Dict[str, np.ndarray] = {}
@@ -207,11 +214,9 @@ def srcnn_to_torch(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
             params[f"fusion_res{i}"]["body"], out, f"residualblocks.{i}.residualblock.doubleconv2d"
         )
         i += 1
-    p = params["sr"]
-    _conv_back(p["conv1"], out, "sr.upsample.1")
-    out["sr.upsample.3.weight"] = np.asarray(p["prelu1"]["weight"])
-    _conv_back(p["conv2"], out, "sr.upsample.4")
-    out["sr.upsample.6.weight"] = np.asarray(p["prelu2"]["weight"])
+    if "mask_encoder" in params:
+        _doubleconv_to_torch(params["mask_encoder"], out, "mask_encoder.1.doubleconv2d")
+    _pixelshuffle_block_to_torch(params["sr"], out)
     return out
 
 
@@ -234,6 +239,25 @@ def highresnet_from_torch(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     if "mask_encoder.1.doubleconv2d.0.weight" in state:
         params["mask_encoder"] = _doubleconv_from_torch(state, "mask_encoder.1.doubleconv2d")
     return {"params": params}
+
+
+def highresnet_to_torch(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of highresnet_from_torch. Only the fusion.fusion.0 names are
+    emitted: the reference shares ONE FusionBlock across every recursion
+    level (arch_util.py:331-335), and torch's state_dict dedups shared
+    parameters to their first registered name."""
+    params = variables["params"]
+    out: Dict[str, np.ndarray] = {}
+    _doubleconv_to_torch(params["encoder"], out, "encoder.doubleconv2d")
+    fuse = params["fusion"]["fuse"]
+    _doubleconv_to_torch(fuse["residual"]["body"], out,
+                         "fusion.fusion.0.fuse.0.residualblock.doubleconv2d")
+    _conv_back(fuse["proj"], out, "fusion.fusion.0.fuse.1")
+    out["fusion.fusion.0.fuse.3.weight"] = np.asarray(fuse["prelu"]["weight"])
+    if "mask_encoder" in params:
+        _doubleconv_to_torch(params["mask_encoder"], out, "mask_encoder.1.doubleconv2d")
+    _pixelshuffle_block_to_torch(params["sr"], out)
+    return out
 
 
 # ------------------------------------------------------------------ OSM discriminator
@@ -259,6 +283,24 @@ def osm_disc_from_torch(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def osm_disc_to_torch(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of osm_disc_from_torch: the wrapped U-Net's conv0..conv9 (and
+    spectral u/v) live at the TOP level of the torch state dict."""
+    params = variables["params"]
+    spectral = (variables.get("spectral") or {}).get("unet", {})
+    out = unet_disc_to_torch({"params": params["unet"], "spectral": spectral})
+    for i in range(1, 5):
+        _conv_back(params[f"o_conv{i}"], out, f"o_conv{i}")
+    for i in (1, 2):
+        base = f"o_attention{i}"
+        p = params[base]
+        _conv_back(p["query"], out, f"{base}.query_conv")
+        _conv_back(p["key"], out, f"{base}.key_conv")
+        _conv_back(p["value"], out, f"{base}.value_conv")
+        out[f"{base}.gamma"] = np.asarray(p["gamma"])
+    return out
+
+
 # -------------------------------------------------------------------------- dispatcher
 
 _FROM_TORCH = {
@@ -270,6 +312,15 @@ _FROM_TORCH = {
 }
 
 
+_TO_TORCH = {
+    "SSR_RRDBNet": rrdbnet_to_torch,
+    "SSR_UNetDiscriminatorSN": unet_disc_to_torch,
+    "SRCNN": srcnn_to_torch,
+    "HighResNet": highresnet_to_torch,
+    "OSMObjDiscriminator": osm_disc_to_torch,
+}
+
+
 def import_torch_checkpoint(arch_type: str, path: str, arch_opt: Optional[dict] = None,
                             param_key: Optional[str] = "params_ema") -> Dict[str, Any]:
     """Load a reference-format .pth into flax variables for `arch_type`."""
@@ -277,3 +328,12 @@ def import_torch_checkpoint(arch_type: str, path: str, arch_opt: Optional[dict] 
     if arch_type not in _FROM_TORCH:
         raise KeyError(f"No torch importer for arch {arch_type!r}")
     return _FROM_TORCH[arch_type](state, arch_opt or {})
+
+
+def export_torch_state(arch_type: str, variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flax variables -> reference-format flat torch state dict for `arch_type`."""
+    if arch_type not in _TO_TORCH:
+        raise KeyError(
+            f"No torch exporter for arch {arch_type!r} "
+            f"(supported: {sorted(_TO_TORCH)})")
+    return _TO_TORCH[arch_type](variables)

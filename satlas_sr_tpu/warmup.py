@@ -107,7 +107,10 @@ def warmup_infer(opt: dict) -> None:
         size = grid_size * 32 if whole else 32
         batch_size = int(opt.get("batch_size", 1 if whole else 64))
 
-    spatial = int(opt.get("spatial_shards", 0))
+    # spatial_shards only affects the WHOLE-TILE program (run_whole_tile);
+    # the chunked/halo CLIs build their engines without it, so honoring it
+    # here would warm a sharded executable the real launch never runs.
+    spatial = int(opt.get("spatial_shards", 0)) if whole else 0
     if whole and spatial <= 0:
         spatial = default_spatial_shards(size)
 

@@ -22,14 +22,18 @@ def main():
     from satlas_sr_tpu.utils import torch_io
     from satlas_sr_tpu.utils.checkpoint import load_pytree, save_pytree
 
+    if arch not in torch_io._FROM_TORCH:
+        print(f"unknown arch_type {arch!r}; supported: "
+              f"{' | '.join(sorted(torch_io._FROM_TORCH))}")
+        sys.exit(1)
+
     if mode == "to_pth":
         variables = load_pytree(src)
-        exporters = {
-            "SSR_RRDBNet": torch_io.rrdbnet_to_torch,
-            "SSR_UNetDiscriminatorSN": torch_io.unet_disc_to_torch,
-            "SRCNN": torch_io.srcnn_to_torch,
-        }
-        fn = exporters[arch]
+
+        def fn(v):
+            # raises a KeyError naming the supported archs on an unknown type
+            return torch_io.export_torch_state(arch, v)
+
         out = {}
         for key in ("params", "params_ema"):
             if key in variables:

@@ -167,3 +167,30 @@ def test_resume_across_process_counts(tmp_path, rng):
     l0 = results[0].split("loss=")[1]
     l1 = results[1].split("loss=")[1]
     assert l0 == l1, results
+
+
+def test_load_network_variables_honors_param_key_for_msgpack(tmp_path, rng):
+    """A net .msgpack carries BOTH params and params_ema; the loader must
+    select param_key (default params_ema) like the .pth branch — returning
+    the raw dict made model.apply() silently run non-EMA weights."""
+    from satlas_sr_tpu.utils.checkpoint import (
+        load_network_variables, save_pytree)
+
+    raw = {"w": rng.randn(3).astype(np.float32)}
+    ema = {"w": rng.randn(3).astype(np.float32)}
+    path = str(tmp_path / "net_g.msgpack")
+    save_pytree(path, {"params": raw, "params_ema": ema})
+
+    out = load_network_variables("SSR_RRDBNet", path)
+    assert set(out) == {"params"}
+    np.testing.assert_array_equal(out["params"]["w"], ema["w"])
+    out = load_network_variables("SSR_RRDBNet", path, param_key="params")
+    np.testing.assert_array_equal(out["params"]["w"], raw["w"])
+
+    # discriminator-style: params only + auxiliary 'spectral' rides along,
+    # and the params_ema default falls back to params
+    d_path = str(tmp_path / "net_d.msgpack")
+    save_pytree(d_path, {"params": raw, "spectral": {"u": ema["w"]}})
+    out = load_network_variables("SSR_UNetDiscriminatorSN", d_path)
+    np.testing.assert_array_equal(out["params"]["w"], raw["w"])
+    np.testing.assert_array_equal(out["spectral"]["u"], ema["w"])

@@ -139,3 +139,33 @@ def test_init_wandb_logger_offline_defaults(monkeypatch):
     calls.clear()
     assert init_wandb_logger({"name": "x", "logger": {}}) is None
     assert not calls
+
+
+def test_get_root_logger_attaches_file_handler_late(tmp_path):
+    """An early get_root_logger() (e.g. find_resume_state warning about a
+    torn .state) must not cost the run its log file: a later call WITH
+    log_file still attaches the FileHandler."""
+    import logging
+
+    from satlas_sr_tpu.utils.logger import get_root_logger
+
+    early = get_root_logger()  # stdout-only, possibly pre-existing
+    log_file = str(tmp_path / "late.log")
+    logger = get_root_logger(log_file)
+    assert logger is early
+    added = [h for h in logger.handlers
+             if isinstance(h, logging.FileHandler)
+             and h.baseFilename == log_file]
+    assert added
+    try:
+        logger.info("late-attach works")
+        added[0].flush()
+        assert "late-attach works" in open(log_file).read()
+        # idempotent: same path never double-attaches
+        get_root_logger(log_file)
+        assert len([h for h in logger.handlers
+                    if isinstance(h, logging.FileHandler)
+                    and h.baseFilename == log_file]) == 1
+    finally:
+        logger.removeHandler(added[0])
+        added[0].close()

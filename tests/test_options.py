@@ -78,6 +78,19 @@ def test_force_yml_cli_integration(tmp_path):
     assert opt["train"]["ema_decay"] == 0.9
 
 
+def test_force_yml_manual_seed_feeds_seed_with_rank(tmp_path):
+    # Overrides must land BEFORE seed derivation: a forced manual_seed that
+    # missed seed_with_rank would seed the model and the data order from
+    # different values and make the "reproducible" run irreproducible.
+    opt_path = os.path.join(OPTIONS_DIR, "esrgan_s2naip_urban.yml")
+    opt, _ = parse_options(
+        str(tmp_path), is_train=True,
+        argv=["-opt", opt_path, "--force_yml", "manual_seed=123"],
+    )
+    assert opt["manual_seed"] == 123
+    assert opt["seed_with_rank"] == 123 + opt["rank"]
+
+
 def test_make_exp_dirs_archives_existing(tmp_path):
     """A fresh (non-resume) run must not overwrite an existing experiment dir:
     it is renamed to <name>_archived_<stamp> first (basicsr mkdir_and_rename

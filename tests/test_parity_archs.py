@@ -166,3 +166,44 @@ def test_rrdbnet_high_scales(rng, scale):
     y1 = model.apply(variables, jnp.ones((1, 8, 8, 3)))
     y2 = model.apply(back, jnp.ones((1, 8, 8, 3)))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_highresnet_torch_export_roundtrip(rng):
+    """highresnet_to_torch inverts highresnet_from_torch (index-0 fusion
+    names only: the reference shares ONE FusionBlock across recursion levels
+    and torch state_dict dedups shared params to their first name)."""
+    model = HighResNet(in_channels=3, revisits=4, hidden_channels=16,
+                       residual_layers=1, output_size=32, zoom_factor=4,
+                       sr_kernel_size=1)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    sd = torch_io.export_torch_state("HighResNet", variables)
+    assert "fusion.fusion.0.fuse.1.weight" in sd
+    assert not any(k.startswith("fusion.fusion.1") for k in sd)
+    back = torch_io.highresnet_from_torch(sd)
+    np.testing.assert_array_equal(np.asarray(model.apply(variables, x)),
+                                  np.asarray(model.apply(back, x)))
+
+
+def test_osm_disc_torch_export_roundtrip(rng):
+    from satlas_sr_tpu.archs.osm_discriminator import OSMObjDiscriminator
+
+    model = OSMObjDiscriminator(num_in_ch=3, num_feat=4)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    objs = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    variables = dict(model.init(jax.random.PRNGKey(0), x, objs))
+    sd = torch_io.export_torch_state("OSMObjDiscriminator", variables)
+    # the wrapped U-Net's convs live at the torch top level, with spectral u/v
+    assert "conv0.weight" in sd and "conv1.weight_orig" in sd
+    assert "o_attention1.gamma" in sd
+    back = torch_io.osm_disc_from_torch(sd)
+    a = jax.tree.leaves({"p": variables["params"],
+                         "s": variables.get("spectral", {})})
+    b = jax.tree.leaves({"p": back["params"], "s": back.get("spectral", {})})
+    assert len(a) == len(b)
+    assert all(np.allclose(x_, y_) for x_, y_ in zip(a, b))
+
+
+def test_export_torch_state_unknown_arch():
+    with pytest.raises(KeyError, match="supported"):
+        torch_io.export_torch_state("NotAnArch", {"params": {}})

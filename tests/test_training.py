@@ -642,3 +642,43 @@ def test_esrgan_accum_with_gated_g(tmp_path, rng):
     assert np.isfinite(float(logs1["l_d_real"]))
     logs2 = model.train_iter(batch, 2)
     assert float(logs2["l_g_pix"]) > 0.0  # gate opened: real G losses
+
+
+def test_broadcast_resume_decision_roundtrip():
+    # Single-process: broadcast_one_to_all returns rank 0's (our own) value;
+    # pins the encode/pad/decode path used for multi-host resume agreement.
+    from satlas_sr_tpu.train import _broadcast_resume_decision
+
+    assert _broadcast_resume_decision(None) is None
+    p = "/tmp/experiments/x/training_states/120.state"
+    assert _broadcast_resume_decision(p) == p
+    assert _broadcast_resume_decision("orbax:77") == "orbax:77"
+
+
+def test_train_cli_profiler_fires_with_default_start(tmp_path, rng):
+    """logger.profile.num_iters alone must produce a trace: the trigger used
+    to compare against start_iter 0, which the 1-based loop never reaches."""
+    import yaml
+
+    from satlas_sr_tpu.train import train_pipeline
+
+    s2, naip = _make_tree(tmp_path, rng)
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["name"] = "cli_profile"
+    opt["num_gpu"] = 1
+    opt["train"]["total_iter"] = 2
+    del opt["train"]["perceptual_opt"]
+    opt["datasets"]["train"]["batch_size_per_gpu"] = 1
+    opt["path"] = {"resume_state": None}
+    opt["logger"]["profile"] = {"num_iters": 1}
+    for k in ("is_train", "rank", "world_size", "seed_with_rank"):
+        opt.pop(k, None)
+    opt["val"] = None
+    opt_path = tmp_path / "opt_profile.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    train_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
+    # path.log is the experiment root for train runs (options.py dir layout)
+    profile_dir = (tmp_path / "experiments" / "cli_profile" / "profile")
+    assert profile_dir.is_dir() and any(profile_dir.rglob("*")), \
+        "profiler never started"
