@@ -90,6 +90,11 @@ class InferenceEngine:
                 if y.ndim == 5:  # [B, 1, H, W, C] from SRCNN/HighResNet
                     y = y[:, 0]
                 y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
+                # TRUNCATION is deliberate here: the reference's infer CLI
+                # does (output * 255).astype(np.uint8) with no rounding
+                # (ssr/infer.py:64), unlike its validation path (tensor2img
+                # rounds — matched by models/base.py to_uint8). Keep the two
+                # conversions distinct; they are both exact parity.
                 return (y * 255.0).astype(jnp.uint8)
 
         self._run = _run
