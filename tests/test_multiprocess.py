@@ -577,3 +577,46 @@ def test_two_process_preemption_agreement(tmp_path):
     states = list((tmp_path / "experiments" / "mp_preempt" / "training_states").glob("*.state"))
     assert states, "rank 0 did not write the preemption state"
     assert max(int(p.stem) for p in states) >= 1
+
+
+_RESUME_BCAST_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+sys.path.insert(0, os.environ["SSR_REPO"])
+from satlas_sr_tpu.train import _broadcast_resume_decision
+
+# Divergent local views: rank 0 found a state, rank 1 found none. Every
+# rank must leave with rank 0's decision or the exp-dir archive barrier
+# deadlocks / resume iterations desync.
+local = "training_states/120.state" if pid == 0 else None
+agreed = _broadcast_resume_decision(local)
+print(f"RESULT {pid} agreed={agreed}", flush=True)
+"""
+
+
+def test_two_process_resume_decision_follows_rank0(tmp_path):
+    port = _free_port()
+    worker = tmp_path / "worker_bcast.py"
+    worker.write_text(_RESUME_BCAST_WORKER)
+    env = dict(os.environ)
+    env["SSR_REPO"] = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        assert line.endswith("agreed=training_states/120.state"), line
