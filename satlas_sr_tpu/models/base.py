@@ -42,10 +42,17 @@ def multistep_lr(base_lr: float, milestones, gamma: float, warmup_iter: int = -1
     ms = np.sort(np.asarray(milestones or [], dtype=np.int64))
 
     def schedule(step):
+        # `step` is the optax update count = completed updates = torch
+        # last_epoch (basicsr steps the scheduler BEFORE the i-th update for
+        # i > 1, so the i-th update uses gamma^{#milestones <= i-1}).
         factor = jnp.power(gamma, jnp.sum(step >= jnp.asarray(ms))) if len(ms) else 1.0
         lr = base_lr * factor
         if warmup_iter > 0:
-            lr = jnp.where(step < warmup_iter, base_lr * step / warmup_iter, lr)
+            # basicsr warms with CURRENT_ITER (1-based): lr_i = base * i /
+            # warmup for i < warmup — count+1, not count (count alone would
+            # make the first update run at lr=0 and lag the ramp by one).
+            it = step + 1
+            lr = jnp.where(it < warmup_iter, base_lr * it / warmup_iter, lr)
         return lr
 
     return schedule
@@ -57,6 +64,16 @@ def build_optimizer(optim_opt: Dict[str, Any], schedule: Callable):
     wd = float(optim_opt.get("weight_decay", 0) or 0)
     if opt_type in ("Adam", "AdamW"):
         if wd > 0:
+            if opt_type == "Adam":
+                # torch Adam's weight_decay is L2-INTO-GRADIENT (the moment
+                # estimates see grad + wd*param), NOT AdamW's decoupled
+                # decay — optax.adamw here would train a different model
+                # than the reference for any weight_decay > 0 config.
+                return optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+                    optax.scale_by_learning_rate(schedule),
+                )
             return optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
         return optax.adam(schedule, b1=betas[0], b2=betas[1])
     if opt_type == "SGD":
