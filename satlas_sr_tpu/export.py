@@ -251,6 +251,9 @@ def main(argv=None):
 
     enable_compilation_cache()
     opt = yaml_load(args.opt)
+    from .utils.lint import report_lint
+
+    report_lint(opt, "infer")
     meta = export_artifact(
         opt, args.out, batch_size=args.batch,
         symbolic_batch=args.symbolic_batch, hw=args.hw,

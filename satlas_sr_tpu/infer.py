@@ -25,6 +25,7 @@ from .utils.checkpoint import load_network_variables
 from .utils.imgio import write_png
 from .utils.infer_utils import format_s2naip_batch
 from .utils.model_utils import build_network
+from .utils.lint import report_lint
 from .utils.options import yaml_load
 
 
@@ -170,6 +171,7 @@ def main(argv=None):
 
     rank, world = init_distributed(args.launcher)
     opt = yaml_load(args.opt)
+    report_lint(opt, "infer", rank=rank)
     run_inference(opt, rank=rank, world=world)
 
 

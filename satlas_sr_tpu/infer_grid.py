@@ -28,6 +28,7 @@ from .inference import InferenceEngine
 from .utils.imgio import write_png
 from .utils.infer_utils import assemble_tile, stitch
 from .utils.model_utils import build_network
+from .utils.lint import report_lint
 from .utils.options import yaml_load
 
 
@@ -336,6 +337,7 @@ def main(argv=None):
 
     rank, world = init_distributed(args.launcher)
     opt = yaml_load(args.opt)
+    report_lint(opt, "infer", rank=rank)
     if opt.get("whole_tile"):
         run_whole_tile(opt, rank=rank, world=world)
         return

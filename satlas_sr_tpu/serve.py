@@ -417,6 +417,9 @@ def main(argv=None):
 
     enable_compilation_cache()
     opt = yaml_load(args.opt)
+    from .utils.lint import report_lint
+
+    report_lint(opt, "infer")
     server, batcher = build_server(
         opt, host=args.host, port=args.port, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, max_queue=args.queue_limit,

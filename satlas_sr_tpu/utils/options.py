@@ -163,6 +163,10 @@ def parse_options(root_path: str, is_train: bool = True, argv=None):
         path_opt["log"] = results_root
         path_opt["visualization"] = os.path.join(results_root, "visualization")
 
+    from .lint import report_lint
+
+    report_lint(opt, "train", rank=opt["rank"])
+
     return opt, args
 
 

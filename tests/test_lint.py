@@ -1,0 +1,159 @@
+"""Config linter + doctor CLI: typo detection over the YAML schema.
+
+The reference reads every config key with dict.get — a misspelled
+`ema_decay` silently trains a different model. These pin the lint
+vocabulary (every shipped config must be clean, including the untouched
+reference configs with their `dist_params`/`io_backend` blocks) and the
+doctor's filesystem/consistency checks.
+"""
+
+import glob
+import os
+
+import pytest
+import yaml
+
+from satlas_sr_tpu.utils.lint import lint_options
+from satlas_sr_tpu.doctor import run_doctor
+
+OPTIONS = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                        "options", "*.yml")))
+REF_OPTIONS = sorted(glob.glob("/root/reference/ssr/options/*.yml"))
+
+
+def _kind(opt):
+    return "infer" if "data_dir" in opt else "train"
+
+
+@pytest.mark.parametrize("path", OPTIONS, ids=[os.path.basename(p) for p in OPTIONS])
+def test_shipped_configs_lint_clean(path):
+    opt = yaml.safe_load(open(path))
+    assert lint_options(opt, _kind(opt)) == []
+
+
+@pytest.mark.parametrize(
+    "path", REF_OPTIONS, ids=[os.path.basename(p) for p in REF_OPTIONS])
+def test_reference_configs_lint_clean(path):
+    """An untouched reference YAML (dist_params, io_backend, ...) must not
+    produce noise — those keys are accepted-and-ignored by design."""
+    opt = yaml.safe_load(open(path))
+    assert lint_options(opt, _kind(opt)) == []
+
+
+def test_typo_detection_with_suggestion():
+    opt = {"name": "x", "train": {"ema_decy": 0.999}}
+    (w,) = lint_options(opt, "train")
+    assert "train:ema_decy" in w and "'ema_decay'" in w
+
+
+def test_nested_dataset_typo():
+    opt = {"datasets": {"train": {"n_s2_imgaes": 8}}}
+    (w,) = lint_options(opt, "train")
+    assert "datasets:train:n_s2_imgaes" in w and "'n_s2_images'" in w
+
+
+def test_enum_value_checks():
+    opt = {"train": {"gan_opt": {"gan_type": "vanila"},
+                     "scheduler": {"type": "CosineAnnealing"}}}
+    warnings = lint_options(opt, "train")
+    joined = "\n".join(warnings)
+    assert "'vanilla'" in joined  # did-you-mean for the value
+    assert "CosineAnnealing" in joined
+    assert len(warnings) == 2
+
+
+def test_network_g_vocabulary_is_per_type():
+    # num_block is an RRDBNet field; on SRCNN it's a typo.
+    ok = lint_options({"network_g": {"type": "SSR_RRDBNet", "num_block": 23}},
+                      "train")
+    assert ok == []
+    (w,) = lint_options({"network_g": {"type": "SRCNN", "num_block": 23}},
+                        "train")
+    assert "network_g:num_block" in w
+
+
+def test_unknown_generator_type_warns_once():
+    (w,) = lint_options({"network_g": {"type": "RRDBNetx", "anything": 1}},
+                        "train")
+    assert "RRDBNetx" in w and "SSR_RRDBNet" in w
+
+
+def test_metric_blocks_accept_any_name():
+    opt = {"val": {"metrics": {"my_psnr": {"type": "calculate_psnr",
+                                           "crop_border": 4}}}}
+    assert lint_options(opt, "train") == []
+    opt["val"]["metrics"]["my_psnr"]["crop_boarder"] = 4
+    (w,) = lint_options(opt, "train")
+    assert "crop_boarder" in w and "'crop_border'" in w
+
+
+def test_infer_schema():
+    assert lint_options({"data_dir": "d", "halo": 4, "whole_tile": False},
+                        "infer") == []
+    (w,) = lint_options({"data_dir": "d", "halow": 4}, "infer")
+    assert "'halo'" in w
+
+
+# ------------------------------------------------------------------- doctor
+
+
+def _mini_train_opt(tmp_path, with_data=True):
+    s2 = tmp_path / "sentinel2"
+    naip = tmp_path / "naip"
+    if with_data:
+        s2.mkdir(exist_ok=True)
+        naip.mkdir(exist_ok=True)
+    return {
+        "name": "doc", "model_type": "L2Model", "scale": 4,
+        "datasets": {"train": {"type": "S2NAIPDataset", "n_s2_images": 8,
+                               "sentinel2_path": str(s2),
+                               "naip_path": str(naip)}},
+        "network_g": {"type": "SRCNN", "revisits": 8},
+        "path": {},
+        "train": {"total_iter": 1, "optim_g": {"type": "Adam", "lr": 1e-4}},
+    }
+
+
+def test_doctor_green_config(tmp_path, capsys):
+    opt = _mini_train_opt(tmp_path)
+    assert run_doctor(opt, check_runtime=False) == 0
+    out = capsys.readouterr().out
+    assert "0 error(s)" in out
+
+
+def test_doctor_missing_paths_fail(tmp_path, capsys):
+    opt = _mini_train_opt(tmp_path, with_data=False)
+    opt["path"]["pretrain_network_g"] = str(tmp_path / "nope.pth")
+    assert run_doctor(opt, check_runtime=False) == 1
+    out = capsys.readouterr().out
+    assert "missing" in out and "nope.pth" in out
+
+
+def test_doctor_strict_fails_on_warnings(tmp_path):
+    opt = _mini_train_opt(tmp_path)
+    opt["train"]["perceptual_opt"] = {"type": "PerceptualLoss",
+                                      "layer_weights": {"conv5_4": 1.0}}
+    assert run_doctor(opt, check_runtime=False) == 0
+    assert run_doctor(opt, strict=True, check_runtime=False) == 1
+
+
+def test_doctor_infer_channel_consistency(tmp_path, capsys):
+    data = tmp_path / "corpus"
+    data.mkdir()
+    opt = {"data_dir": str(data), "save_path": str(tmp_path / "out"),
+           "n_lr_images": 8,
+           "network_g": {"type": "SSR_RRDBNet", "num_in_ch": 36,
+                         "num_out_ch": 3}}
+    assert run_doctor(opt, check_runtime=False) == 1
+    assert "24 channels" in capsys.readouterr().out
+
+
+def test_parse_options_prints_lint_warnings(tmp_path, capsys):
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(
+        "name: lintcheck\nmodel_type: L2Model\nscale: 4\nmanual_seed: 1\n"
+        "train:\n  total_iter: 1\n  ema_decy: 0.9\n")
+    from satlas_sr_tpu.utils.options import parse_options
+
+    parse_options(str(tmp_path), is_train=True, argv=["-opt", str(cfg)])
+    assert "ema_decy" in capsys.readouterr().out
