@@ -186,7 +186,30 @@ def train_bench(batch: int, iters: int = 5, trials: int = 3) -> float:
     return best
 
 
+def _stall_watchdog(interval_s: float = 120.0):
+    """Backend init through the hosted TPU tunnel blocks in an
+    uninterruptible retry loop when the tunnel is down — explain the silence
+    on stderr instead of hanging mutely until the harness timeout. The
+    daemon thread dies with the process; once devices are up it is
+    cancelled."""
+    import threading
+
+    done = threading.Event()
+
+    def nag():
+        waited = 0
+        while not done.wait(interval_s):
+            waited += int(interval_s)
+            log(f"WATCHDOG: jax backend still initialising after {waited}s "
+                f"— TPU tunnel/plugin likely unreachable (bench will proceed "
+                f"automatically if it recovers)")
+
+    threading.Thread(target=nag, daemon=True).start()
+    return done
+
+
 def main():
+    watchdog_done = _stall_watchdog()
     import jax
 
     from satlas_sr_tpu.utils.jax_cache import enable_compilation_cache
@@ -194,6 +217,8 @@ def main():
     enable_compilation_cache()
 
     if "--train" in sys.argv:
+        jax.devices()  # backend up — stop the stall watchdog
+        watchdog_done.set()
         batch = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
         sps = train_bench(batch)
         log(f"train step: {sps:.1f} samples/s/chip (batch={batch}, bf16)")
@@ -206,6 +231,7 @@ def main():
         return
 
     devices = jax.devices()
+    watchdog_done.set()
     log("devices:", devices)
     on_accel = devices[0].platform != "cpu"
 
