@@ -46,6 +46,26 @@ def test_pipeline(root_path: str, argv=None) -> dict:
             save_img=bool((opt.get("test") or {}).get("save_img", False)),
             dataset_name=name,
         )
+
+    if opt.get("rank", 0) == 0:
+        # one machine-readable summary per run (metric rows also stream into
+        # metrics.jsonl via _log_validation_metrics) — the reference only
+        # prints averages to the log file
+        import json
+
+        path_opt = opt.get("path") or {}
+        summary = {
+            "name": opt["name"],
+            "weights": path_opt.get("pretrain_network_g"),
+            "param_key_g": path_opt.get("param_key_g", "params_ema"),
+            "results": {ds: {m: float(v) for m, v in r.items()}
+                        for ds, r in results.items()},
+            "timestamp": int(time.time()),
+        }
+        out_path = os.path.join(path_opt["results_root"], "results.json")
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=2)
+        logger.info(f"Results summary written to {out_path}")
     return results
 
 

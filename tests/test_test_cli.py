@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 import jax
@@ -71,6 +72,15 @@ def test_test_pipeline_esrgan(tmp_path, rng):
     results = test_pipeline(str(tmp_path), argv=["-opt", str(opt_path)])
     assert "test" in results
     metrics = results["test"]
+
+    # machine-readable summary written alongside the visualizations
+    import json
+
+    summary = json.load(
+        open(tmp_path / "results" / "test_cli_esrgan" / "results.json"))
+    assert summary["name"] == "test_cli_esrgan"
+    assert summary["results"]["test"] == pytest.approx(
+        {k: float(v) for k, v in metrics.items()})
     for key in ("psnr", "ssim", "cpsnr"):
         assert key in metrics and np.isfinite(metrics[key]), metrics
     # random weights vs random GT -> low but positive PSNR
