@@ -51,6 +51,7 @@ class PrefetchLoader:
         num_workers: int = 2,
         prefetch_depth: int = 4,
         collate: Callable = default_collate,
+        start_sample: int = 0,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -58,20 +59,42 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
         self.collate = collate
+        # start_sample: resume fast-forward — skip this many per-rank draws
+        # so a resumed run consumes exactly the samples (indices AND salts)
+        # the uninterrupted run would have at the same iteration.
+        self._start_sample = max(0, int(start_sample))
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
         self._index_lock = threading.Lock()
-        self._index_iter = iter(sampler)
-        self._draws = 0
+        self._index_iter = self._sampler_iter()
+        self._draws = self._start_sample
+        self._seq = 0  # batch sequence assigned with the draws
+        self._consumed_seq = 0  # next sequence __iter__ must yield
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
-    def _next_indices(self) -> Optional[List[tuple]]:
-        """Hand a worker a batch of (index, draw_ordinal) pairs.
+    def _sampler_iter(self):
+        iter_from = getattr(self.sampler, "iter_from", None)
+        if iter_from is not None:
+            return iter_from(self._start_sample)
+        it = iter(self.sampler)
+        if self._start_sample:  # O(n) fallback for plain iterables
+            import itertools
+            from collections import deque
 
-        The draw ordinal is assigned under the sequencer lock, so the mapping
-        draw -> (index, salt) is deterministic regardless of which worker
-        thread ends up loading it — the salt feeds the dataset's per-item RNG
-        (frame sampling / rand_crop) in place of a racy shared epoch counter.
+            deque(itertools.islice(it, self._start_sample), maxlen=0)
+        return it
+
+    def _next_indices(self) -> Optional[tuple]:
+        """Hand a worker (batch_seq, [(index, draw_ordinal), ...]).
+
+        Both the draw ordinal and the batch sequence number are assigned
+        under the sequencer lock, so the mapping draw -> (index, salt) and
+        batch -> position in the training stream are deterministic
+        regardless of which worker thread ends up loading what — the salt
+        feeds the dataset's per-item RNG (frame sampling / rand_crop) in
+        place of a racy shared epoch counter, and __iter__ re-orders
+        completed batches by sequence (like torch's DataLoader) so the
+        batch ORDER doesn't depend on thread scheduling either.
         """
         with self._index_lock:
             out = []
@@ -81,7 +104,11 @@ class PrefetchLoader:
                     self._draws += 1
             except StopIteration:
                 pass
-        return out or None
+            if not out:
+                return None
+            seq = self._seq
+            self._seq += 1
+        return seq, out
 
     def _load(self, index: int, salt: int):
         sample_fn = getattr(self.dataset, "sample", None)
@@ -102,12 +129,13 @@ class PrefetchLoader:
     def _worker(self) -> None:
         try:
             while not self._stop.is_set():
-                indices = self._next_indices()
-                if indices is None:
+                nxt = self._next_indices()
+                if nxt is None:
                     self._queue.put(None)
                     return
+                seq, indices = nxt
                 batch = self.collate([self._load(i, salt) for i, salt in indices])
-                self._put(batch)
+                self._put((seq, batch))
         except BaseException as e:  # noqa: BLE001 - relayed to the consumer
             # A dying worker must surface, not starve the training loop: an
             # unhandled load/collate error (corrupt png, dataset exhausted
@@ -139,7 +167,10 @@ class PrefetchLoader:
         self._threads = []
         self._stop = threading.Event()
         self._queue = queue.Queue(maxsize=self.prefetch_depth)
-        self._index_iter = iter(self.sampler)
+        self._index_iter = self._sampler_iter()
+        self._draws = self._start_sample
+        self._seq = 0
+        self._consumed_seq = 0
         self.start()
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -148,11 +179,17 @@ class PrefetchLoader:
         elif all(not t.is_alive() for t in self._threads):
             self._restart()  # previous (finite) pass exhausted its workers
         finished = 0
+        stash: Dict[int, Any] = {}  # out-of-order completions, keyed by seq
         while True:
             item = self._queue.get()
             if item is None:
                 finished += 1
                 if finished >= self.num_workers:
+                    # all workers exited -> every put preceded its None
+                    # (queue FIFO); flush any tail in sequence order
+                    for s in sorted(stash):
+                        yield stash[s]
+                    stash.clear()
                     return
                 continue
             if isinstance(item, _WorkerError):
@@ -160,7 +197,11 @@ class PrefetchLoader:
                 raise RuntimeError(
                     "PrefetchLoader worker failed while loading a batch"
                 ) from item.exc
-            yield item
+            seq, batch = item
+            stash[seq] = batch
+            while self._consumed_seq in stash:
+                yield stash.pop(self._consumed_seq)
+                self._consumed_seq += 1
 
 
 def build_dataset(dataset_opt: Dict[str, Any]):
@@ -177,6 +218,7 @@ def build_train_loader(
     seed: int = 0,
     rank: int = 0,
     world_size: int = 1,
+    start_sample: int = 0,
 ) -> PrefetchLoader:
     from .sampler import build_sampler
 
@@ -189,7 +231,8 @@ def build_train_loader(
     batch = int(dataset_opt.get("batch_size_per_gpu", 16)) * jax.local_device_count()
     workers = int(dataset_opt.get("num_worker_per_gpu", 2))
     depth = int(dataset_opt.get("prefetch_depth", 4))
-    return PrefetchLoader(dataset, sampler, batch, workers, depth)
+    return PrefetchLoader(dataset, sampler, batch, workers, depth,
+                          start_sample=start_sample)
 
 
 class SequentialEvalLoader:

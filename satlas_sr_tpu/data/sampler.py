@@ -40,13 +40,26 @@ class WeightedInfiniteSampler:
         self._world = world_size
         self._chunk = chunk
 
-    def __iter__(self) -> Iterator[int]:
-        epoch = 0
+    def _per_rank_len(self) -> int:
+        return len(range(self._rank, self._chunk, self._world))
+
+    def iter_from(self, start: int) -> Iterator[int]:
+        """Resume the per-rank stream at draw `start` in O(1).
+
+        Each epoch's draws are a pure function of (seed, epoch), so
+        fast-forwarding is arithmetic — the loader uses this to make a
+        resumed run consume EXACTLY the samples the uninterrupted run
+        would have (the reference restarts its within-epoch position)."""
+        epoch, offset = divmod(max(0, int(start)), self._per_rank_len())
         while True:
             rng = np.random.RandomState((self._seed + epoch) % (2**31 - 1))
             draw = rng.choice(self._n, size=self._chunk, p=self._p, replace=True)
-            yield from draw[self._rank :: self._world].tolist()
+            yield from draw[self._rank :: self._world][offset:].tolist()
+            offset = 0
             epoch += 1
+
+    def __iter__(self) -> Iterator[int]:
+        return self.iter_from(0)
 
 
 class EnlargedShuffleSampler:
@@ -77,11 +90,21 @@ class EnlargedShuffleSampler:
             idx = np.arange(total) % self._n
         return idx[self._rank :: self._world]
 
-    def __iter__(self) -> Iterator[int]:
-        epoch = 0
+    def _per_rank_len(self) -> int:
+        total = self._n * self._ratio
+        return len(range(self._rank, total, self._world))
+
+    def iter_from(self, start: int) -> Iterator[int]:
+        """O(1) fast-forward to per-rank draw `start` (see
+        WeightedInfiniteSampler.iter_from)."""
+        epoch, offset = divmod(max(0, int(start)), self._per_rank_len())
         while True:
-            yield from self.epoch_indices(epoch).tolist()
+            yield from self.epoch_indices(epoch)[offset:].tolist()
+            offset = 0
             epoch += 1
+
+    def __iter__(self) -> Iterator[int]:
+        return self.iter_from(0)
 
 
 def build_sampler(

@@ -126,10 +126,6 @@ def train_pipeline(root_path: str, argv=None) -> None:
             "batch_size_per_gpu":
                 int(train_ds_opt.get("batch_size_per_gpu", 16)) * accum,
         }
-    train_loader = build_train_loader(
-        train_set, loader_ds_opt, seed=opt["seed_with_rank"],
-        rank=opt["rank"], world_size=opt["world_size"],
-    )
     val_loaders = []
     for phase, ds_opt in opt["datasets"].items():
         if phase == "train":
@@ -159,6 +155,19 @@ def train_pipeline(root_path: str, argv=None) -> None:
         info = model.resume_training(resume_state_path)
         start_iter, epoch = info["iter"], info["epoch"]
         logger.info(f"Resuming training from epoch: {epoch}, iter: {start_iter}.")
+
+    # Built AFTER the resume decision: the loader fast-forwards its sampler
+    # and draw-ordinal salts to start_iter's position, so a resumed run
+    # consumes exactly the batches the uninterrupted run would have
+    # (tests/test_training.py resume-equivalence; the reference restarts its
+    # within-epoch data position on resume instead).
+    rows_per_iter = (int(loader_ds_opt.get("batch_size_per_gpu", 16))
+                     * jax.local_device_count())
+    train_loader = build_train_loader(
+        train_set, loader_ds_opt, seed=opt["seed_with_rank"],
+        rank=opt["rank"], world_size=opt["world_size"],
+        start_sample=start_iter * rows_per_iter,
+    )
 
     msg_logger = MessageLogger(opt, start_iter, tb_logger)
     data_timer, iter_timer = AvgTimer(), AvgTimer()
