@@ -30,7 +30,7 @@ from satlas_sr_tpu.data.loader import PrefetchLoader
 from satlas_sr_tpu.data.sampler import (EnlargedShuffleSampler,
                                         WeightedInfiniteSampler)
 from satlas_sr_tpu.utils.checkpoint import load_pytree
-from tests.test_training import _make_tree
+from tests.test_training import _esrgan_opt, _make_tree
 
 
 @pytest.mark.parametrize("sampler_fn", [
@@ -152,4 +152,40 @@ def test_resume_is_bit_identical_to_straight_run(tmp_path, rng):
     wa = load_pytree(str(exp / "straight" / "models" / "net_g_latest.msgpack"))
     wb = load_pytree(str(exp / "resumed" / "models" / "net_g_latest.msgpack"))
     for la, lb in zip(jax.tree.leaves(wa), jax.tree.leaves(wb)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def _esrgan_cli_opt(tmp_path, s2, naip, name, total_iter):
+    opt = _esrgan_opt(tmp_path, s2, naip)
+    opt["name"] = name
+    opt["num_gpu"] = 1
+    opt["manual_seed"] = 5
+    del opt["train"]["perceptual_opt"]  # keep the CPU step light
+    opt["datasets"]["train"]["batch_size_per_gpu"] = 1
+    opt["datasets"]["train"]["num_worker_per_gpu"] = 2
+    opt["train"]["total_iter"] = total_iter
+    opt["path"] = {"resume_state": None}
+    opt["logger"]["save_checkpoint_freq"] = 2
+    opt["val"] = None
+    for k in ("is_train", "rank", "world_size", "seed_with_rank"):
+        opt.pop(k, None)
+    return opt
+
+
+def test_esrgan_resume_is_bit_identical(tmp_path, rng):
+    """Same invariant over the GAN state: EMA, spectral-norm u/v, BOTH
+    optimizer moments and the D stream must round-trip exactly."""
+    s2, naip = _make_tree(tmp_path, rng)
+
+    _run(tmp_path, _esrgan_cli_opt(tmp_path, s2, naip, "gstraight", 4))
+    _run(tmp_path, _esrgan_cli_opt(tmp_path, s2, naip, "gresumed", 2))
+    _run(tmp_path, _esrgan_cli_opt(tmp_path, s2, naip, "gresumed", 4),
+         resume=True)
+
+    exp = tmp_path / "experiments"
+    a = load_pytree(str(exp / "gstraight" / "training_states" / "4.state"))
+    b = load_pytree(str(exp / "gresumed" / "training_states" / "4.state"))
+    leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
