@@ -155,6 +155,57 @@ def test_resume_is_bit_identical_to_straight_run(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_preemption_is_bit_identical_to_straight_run(tmp_path, rng):
+    """SIGTERM at an ARBITRARY iteration + auto-resume == never preempted.
+
+    The preemption save runs at the loop boundary after the signal, so
+    whatever iteration k it lands on, the resumed trajectory must rejoin
+    the uninterrupted one exactly — the property that makes preemptible
+    TPU fleets trajectory-transparent."""
+    import os as os_mod
+    import signal as signal_mod
+    import threading
+    import time as time_mod
+
+    s2, naip = _make_tree(tmp_path, rng)
+
+    opt = _l2_cli_opt("preempted", s2, naip, total_iter=100000,
+                      ckpt_freq=100000)
+    exp = tmp_path / "experiments" / "preempted"
+    metrics = exp / "metrics.jsonl"
+
+    def fire_when_training():
+        deadline = time_mod.time() + 300
+        while time_mod.time() < deadline:
+            if metrics.exists() and metrics.read_text().strip():
+                break
+            time_mod.sleep(0.2)
+        os_mod.kill(os_mod.getpid(), signal_mod.SIGTERM)
+
+    watcher = threading.Thread(target=fire_when_training, daemon=True)
+    watcher.start()
+    _run(tmp_path, opt)
+    watcher.join(timeout=10)
+
+    states = list((exp / "training_states").glob("*.state"))
+    assert states, "preemption produced no training state"
+    k = max(int(p.stem) for p in states)
+    total = k + 3
+
+    _run(tmp_path, _l2_cli_opt("preempted", s2, naip, total_iter=total,
+                               ckpt_freq=total), resume=True)
+    _run(tmp_path, _l2_cli_opt("pstraight", s2, naip, total_iter=total,
+                               ckpt_freq=total))
+
+    a = load_pytree(str(tmp_path / "experiments" / "pstraight" /
+                        "training_states" / f"{total}.state"))
+    b = load_pytree(str(exp / "training_states" / f"{total}.state"))
+    leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def _esrgan_cli_opt(tmp_path, s2, naip, name, total_iter):
     opt = _esrgan_opt(tmp_path, s2, naip)
     opt["name"] = name
