@@ -70,23 +70,28 @@ def summarize_tree(tree: Any) -> Dict[str, Any]:
 
 
 def inspect_native(path: str) -> Dict[str, Any]:
-    from .utils.checkpoint import (_FOOTER, _FOOTER_MAGIC,  # noqa: SLF001
-                                   CheckpointCorruptError, load_pytree)
+    from .utils.checkpoint import (CheckpointCorruptError, has_crc_footer,
+                                   verify_payload_bytes)
 
     with open(path, "rb") as f:
         blob = f.read()
-    has_footer = (len(blob) >= _FOOTER.size
-                  and blob[-_FOOTER.size:][:4] == _FOOTER_MAGIC)
     info: Dict[str, Any] = {
         "format": "native-msgpack",
         "size_bytes": len(blob),
-        "integrity": "crc-footer" if has_footer else "legacy (no footer)",
+        "integrity": ("crc-footer" if has_crc_footer(blob)
+                      else "legacy (no footer)"),
     }
     try:
-        tree = load_pytree(path)
+        from flax import serialization
+
+        tree = serialization.msgpack_restore(verify_payload_bytes(blob, path))
     except CheckpointCorruptError as e:
         info["status"] = "CORRUPT"
         info["error"] = str(e)
+        return info
+    except Exception as e:  # legacy footer-less file that fails to parse
+        info["status"] = "CORRUPT"
+        info["error"] = f"unreadable checkpoint ({e})"
         return info
     info["status"] = "ok"
     if isinstance(tree, dict) and "step" in tree:

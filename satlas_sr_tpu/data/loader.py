@@ -65,23 +65,23 @@ class PrefetchLoader:
         self._start_sample = max(0, int(start_sample))
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
         self._index_lock = threading.Lock()
-        self._index_iter = self._sampler_iter()
+        self._index_iter = self._sampler_iter(self._start_sample)
         self._draws = self._start_sample
         self._seq = 0  # batch sequence assigned with the draws
         self._consumed_seq = 0  # next sequence __iter__ must yield
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
-    def _sampler_iter(self):
+    def _sampler_iter(self, start: int):
         iter_from = getattr(self.sampler, "iter_from", None)
         if iter_from is not None:
-            return iter_from(self._start_sample)
+            return iter_from(start)
         it = iter(self.sampler)
-        if self._start_sample:  # O(n) fallback for plain iterables
+        if start:  # O(n) fallback for plain iterables
             import itertools
             from collections import deque
 
-            deque(itertools.islice(it, self._start_sample), maxlen=0)
+            deque(itertools.islice(it, start), maxlen=0)
         return it
 
     def _next_indices(self) -> Optional[tuple]:
@@ -167,8 +167,12 @@ class PrefetchLoader:
         self._threads = []
         self._stop = threading.Event()
         self._queue = queue.Queue(maxsize=self.prefetch_depth)
-        self._index_iter = self._sampler_iter()
-        self._draws = self._start_sample
+        # A restart is a FRESH pass over a finite sampler (next epoch), not
+        # a resume: start from sample 0 — the construction-time fast-forward
+        # applies to the first pass only — and keep the draw-ordinal salt
+        # counter monotonic so repeated passes resample frames/crops instead
+        # of replaying pass 1 bit-for-bit.
+        self._index_iter = self._sampler_iter(0)
         self._seq = 0
         self._consumed_seq = 0
         self.start()
@@ -186,8 +190,10 @@ class PrefetchLoader:
                 finished += 1
                 if finished >= self.num_workers:
                     # all workers exited -> every put preceded its None
-                    # (queue FIFO); flush any tail in sequence order
+                    # (queue FIFO); flush any tail in sequence order,
+                    # advancing the cursor so a later pass stays in sync
                     for s in sorted(stash):
+                        self._consumed_seq = s + 1
                         yield stash[s]
                     stash.clear()
                     return

@@ -75,16 +75,20 @@ class S2NAIPDataset:
         self.n_s2_images = int(opt["n_s2_images"])
         self.scale = int(opt.get("scale", 4))
         self.use_3d = bool(opt.get("use_3d", False))
-        self.old_naip_path = opt.get("old_naip_path")
-        self.osm_chips_to_masks = opt.get("osm_objs_path")
+
+        def _path(v):
+            return os.path.expanduser(v) if isinstance(v, str) else v
+
+        self.old_naip_path = _path(opt.get("old_naip_path"))
+        self.osm_chips_to_masks = _path(opt.get("osm_objs_path"))
         self.seed = int(opt.get("seed", 123))
 
         bands = list(opt.get("s2_bands") or ["tci"])
         bands.insert(0, bands.pop(bands.index("tci")))
         self.s2_bands = bands
 
-        self.s2_path = opt["sentinel2_path"]
-        self.naip_path = opt["naip_path"]
+        self.s2_path = _path(opt["sentinel2_path"])
+        self.naip_path = _path(opt["naip_path"])
         if not (os.path.exists(self.s2_path) and os.path.exists(self.naip_path)):
             raise FileNotFoundError(
                 "Please make sure the paths to the data directories are correct."

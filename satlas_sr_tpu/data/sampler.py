@@ -50,7 +50,12 @@ class WeightedInfiniteSampler:
         fast-forwarding is arithmetic — the loader uses this to make a
         resumed run consume EXACTLY the samples the uninterrupted run
         would have (the reference restarts its within-epoch position)."""
-        epoch, offset = divmod(max(0, int(start)), self._per_rank_len())
+        per_rank = self._per_rank_len()
+        if per_rank == 0:
+            raise ValueError(
+                f"empty per-rank sample stream: chunk={self._chunk} yields "
+                f"nothing for rank {self._rank} of {self._world}")
+        epoch, offset = divmod(max(0, int(start)), per_rank)
         while True:
             rng = np.random.RandomState((self._seed + epoch) % (2**31 - 1))
             draw = rng.choice(self._n, size=self._chunk, p=self._p, replace=True)
@@ -97,7 +102,13 @@ class EnlargedShuffleSampler:
     def iter_from(self, start: int) -> Iterator[int]:
         """O(1) fast-forward to per-rank draw `start` (see
         WeightedInfiniteSampler.iter_from)."""
-        epoch, offset = divmod(max(0, int(start)), self._per_rank_len())
+        per_rank = self._per_rank_len()
+        if per_rank == 0:
+            raise ValueError(
+                f"empty per-rank sample stream: {self._n} samples x ratio "
+                f"{self._ratio} yield nothing for rank {self._rank} of "
+                f"{self._world} (dataset too small for this world size)")
+        epoch, offset = divmod(max(0, int(start)), per_rank)
         while True:
             yield from self.epoch_indices(epoch)[offset:].tolist()
             offset = 0
@@ -118,8 +129,9 @@ def build_sampler(
     tile_weights_path = opt.get("tile_weights")
     if tile_weights_path:
         import json
+        import os
 
-        with open(tile_weights_path) as f:
+        with open(os.path.expanduser(tile_weights_path)) as f:
             tile_weights = json.load(f)
         weights = dataset.tile_weights_array(tile_weights)
         return WeightedInfiniteSampler(weights, seed, rank, world_size)

@@ -63,9 +63,10 @@ def _check_file(rep: Report, area: str, path: Any, required: bool) -> None:
 
 
 def _check_config(rep: Report, opt: Dict[str, Any], kind: str) -> None:
-    for w in lint_options(opt, kind):
+    warnings = lint_options(opt, kind)
+    for w in warnings:
         rep.add(WARN, "config", w)
-    if not lint_options(opt, kind):
+    if not warnings:
         rep.add(OK, "config", "no unknown keys")
 
     path_opt = opt.get("path") or {}

@@ -75,6 +75,7 @@ def load_vgg19_from_torch(path: str) -> Dict[str, Dict[str, np.ndarray]]:
 
 def get_vgg19_params(weights_path: str | None = None, seed: int = 0):
     path = weights_path or os.environ.get("SSR_TPU_VGG19_WEIGHTS")
+    path = os.path.expanduser(path) if path else path
     if path and os.path.exists(path):
         return load_vgg19_from_torch(path), True
     return init_vgg19_params(seed), False

@@ -647,6 +647,7 @@ def _cached_encoder(model_name: str, weights_path: Optional[str]):
     is_rn = isinstance(spec, ResNetSpec)
     params = None
     pretrained = False
+    weights_path = os.path.expanduser(weights_path) if weights_path else None
     if weights_path:
         # a weights file was EXPLICITLY supplied — from here on every failure
         # is loud: real user weights must never silently degrade to the

@@ -143,6 +143,7 @@ def _build_lpips(model_name: str, weights_path: Optional[str]):
     convs = None
     lins = None
     pretrained = False
+    weights_path = os.path.expanduser(weights_path) if weights_path else None
     if weights_path and os.path.exists(weights_path):
         loaded = _load_lpips_torch(weights_path, plan)
         if loaded:

@@ -50,10 +50,16 @@ def save_pytree(path: str, tree: Any) -> None:
     os.replace(tmp, path)
 
 
-def _read_payload(path: str) -> bytes:
-    """Read a checkpoint payload, verifying the integrity footer if present."""
-    with open(path, "rb") as f:
-        blob = f.read()
+def has_crc_footer(blob: bytes) -> bool:
+    """True iff `blob` ends in this module's integrity footer."""
+    return len(blob) >= _FOOTER.size and blob[-_FOOTER.size:][:4] == _FOOTER_MAGIC
+
+
+def verify_payload_bytes(blob: bytes, path: str = "<bytes>") -> bytes:
+    """Strip + verify the integrity footer of an in-memory checkpoint blob.
+
+    Returns the payload (the whole blob for legacy footer-less files);
+    raises CheckpointCorruptError on truncation or crc mismatch."""
     if len(blob) >= _FOOTER.size:
         magic, crc, length = _FOOTER.unpack(blob[-_FOOTER.size:])
         if magic == _FOOTER_MAGIC:
@@ -66,6 +72,13 @@ def _read_payload(path: str) -> bytes:
                 raise CheckpointCorruptError(f"{path}: checkpoint crc mismatch")
             return payload
     return blob  # legacy footer-less file
+
+
+def _read_payload(path: str) -> bytes:
+    """Read a checkpoint payload, verifying the integrity footer if present."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    return verify_payload_bytes(blob, path)
 
 
 def load_pytree(path: str, target: Any = None) -> Any:

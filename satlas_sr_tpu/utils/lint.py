@@ -30,6 +30,7 @@ _DATASET = {
     "tile_weights": None, "train_samples": None, "batch_size_per_gpu": None,
     "num_worker_per_gpu": None, "use_shuffle": None,
     "dataset_enlarge_ratio": None, "prefetch_depth": None,
+    "batch_size": None,  # val/test eval-loader batch (train.py, test.py)
     "phase": None, "scale": None,
     "io_backend": _IGNORED,
 }

@@ -280,3 +280,18 @@ def test_ssrdataset_alias_accepts_reference_configs(tmp_path, rng):
     })
     assert isinstance(ds, S2NAIPDataset)
     assert ds[0]["lr"].shape == (32, 32, 6)
+
+
+def test_dataset_paths_expand_tilde(tmp_path, rng, monkeypatch):
+    """Runtime path resolution honors '~' like the doctor does — a config
+    the doctor blesses must not silently see zero datapoints at runtime."""
+    from satlas_sr_tpu.data import build_dataset
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    _make_tree(tmp_path, rng)
+    ds = build_dataset({
+        "type": "S2NAIPDataset", "sentinel2_path": "~/sentinel2",
+        "naip_path": "~/naip", "n_s2_images": 2, "phase": "train",
+    })
+    assert len(ds) == 4
+    assert ds[0]["lr"].shape == (32, 32, 6)
