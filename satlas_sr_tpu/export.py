@@ -141,6 +141,11 @@ def export_artifact(
                     raise AssertionError(
                         "exported artifact output differs from the live engine")
                 meta["checked"] = True
+                # rewrite so the artifact's own meta.json records the check
+                # (not just the returned dict)
+                with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as z:
+                    z.writestr(_META_NAME, json.dumps(meta, indent=1))
+                    z.writestr(_MODULE_NAME, payload)
                 print(f"check ok: artifact matches the live engine bit-exactly "
                       f"on a random batch ({backend})")
         os.replace(tmp_path, out_path)
