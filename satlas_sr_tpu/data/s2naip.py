@@ -133,6 +133,14 @@ class S2NAIPDataset:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _warn_unreadable(self, path: str) -> None:
+        warned = getattr(self, "_warned_paths", None)
+        if warned is None:
+            warned = self._warned_paths = set()
+        if path not in warned:  # once per path (benign race across workers)
+            warned.add(path)
+            print(f"WARNING: skipping unreadable png {path}", flush=True)
+
     def tile_weights_array(self, tile_weights: Dict[str, float]) -> np.ndarray:
         """Per-datapoint sampling weights from a chip->weight JSON mapping.
 
@@ -219,7 +227,17 @@ class S2NAIPDataset:
                 index = 0
             naip_path, s2_paths, chip, old_naip_path = self.datapoints[index]
 
-            naip = read_png(naip_path)  # [128, 128, 3]
+            try:
+                naip = read_png(naip_path)  # [128, 128, 3]
+            except Exception:
+                # beyond-reference robustness: the reference reads the NAIP
+                # OUTSIDE its try/except (s2-naip_dataset.py:171), so one
+                # corrupt png kills a run hours in. Skip it like every other
+                # bad chip — no distribution divergence, since the reference
+                # cannot run on such a tree at all. Warn once per path.
+                self._warn_unreadable(naip_path)
+                counter += 1
+                continue
             if has_black_pixels(naip):
                 counter += 1
                 continue
@@ -262,7 +280,12 @@ class S2NAIPDataset:
                 "Chip": chip,
             }
             if old_naip_path is not None:
-                sample["old_hr"] = read_png(old_naip_path)
+                try:
+                    sample["old_hr"] = read_png(old_naip_path)
+                except Exception:  # same skip policy as the naip read above
+                    self._warn_unreadable(old_naip_path)
+                    counter += 1
+                    continue
             return sample
 
     def __len__(self) -> int:

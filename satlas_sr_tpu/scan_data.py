@@ -8,9 +8,9 @@ Applies EXACTLY the predicates the training pipeline uses to skip a chip
 pngs, cross-band frame-count mismatch, too few frames) and reports how
 much of the tree is actually trainable. The reference discovers bad data
 one skip-and-advance at a time, mid-training, silently; a tree where
-every chip is bad spins its loader forever. An UNREADABLE NAIP png is
-reported as FATAL: the trainer (like the reference) reads it outside the
-skip guard, so drawing that chip crashes the run.
+every chip is bad spins its loader forever. (An unreadable NAIP png is
+skipped here with a warning; the REFERENCE reads it outside its skip
+guard, s2-naip_dataset.py:171, and crashes when that chip is drawn.)
 
 Also reports frame-goodness stats: frame selection prefers non-black
 frames, so a chip whose frames are ALL black still trains but only with
@@ -35,10 +35,6 @@ def scan_dataset(ds, limit: int = 0) -> Dict[str, Any]:
     from .data.s2naip import has_black_pixels
     from .utils.imgio import read_png  # same reader the dataset uses
 
-    # naip_unreadable is a CRASH class, not a skip class: the trainer reads
-    # the NAIP outside its skip-and-advance guard (data/s2naip.py _load —
-    # matching the reference, s2-naip_dataset.py:171 reads it outside the
-    # try/except), so drawing such a chip kills the run.
     issues: Dict[str, List[str]] = {
         "naip_unreadable": [], "naip_black_pixels": [],
         "bands_invalid": [], "too_few_frames": [], "all_frames_black": [],
@@ -83,8 +79,8 @@ def scan_dataset(ds, limit: int = 0) -> Dict[str, Any]:
         "chips_scanned": n,
         "chips_usable": n - unusable,
         "chips_unusable": unusable,
-        # chips that CRASH a training run when drawn (vs merely skipped)
-        "chips_fatal": len(issues["naip_unreadable"]),
+        # chips that CRASH the REFERENCE when drawn (skipped here)
+        "chips_fatal_in_reference": len(issues["naip_unreadable"]),
         "issues": {k: {"count": len(v), "examples": v[:20]}
                    for k, v in issues.items()},
         "frames": {
@@ -102,10 +98,10 @@ def print_report(report: Dict[str, Any]) -> None:
     print(f"chips scanned:  {report['chips_scanned']}")
     print(f"chips usable:   {report['chips_usable']}")
     print(f"chips unusable: {report['chips_unusable']}")
-    if report.get("chips_fatal"):
-        print(f"chips FATAL:    {report['chips_fatal']} — unreadable NAIP "
-              f"pngs CRASH the trainer when drawn (both here and in the "
-              f"reference); remove or repair them before training")
+    if report.get("chips_fatal_in_reference"):
+        print(f"note: {report['chips_fatal_in_reference']} unreadable NAIP "
+              f"png(s) — skipped here with a warning; the reference CRASHES "
+              f"on these when drawn")
     for name, info in report["issues"].items():
         if info["count"]:
             ex = ", ".join(info["examples"][:5])
@@ -156,8 +152,6 @@ def main(argv=None) -> int:
         with open(args.json, "w") as f:
             json.dump(report, f, indent=2)
         print(f"report written to {args.json}")
-    if report.get("chips_fatal"):
-        return 1  # these chips crash training outright — always an error
     if args.strict and report["chips_unusable"]:
         return 1
     return 0

@@ -295,3 +295,25 @@ def test_dataset_paths_expand_tilde(tmp_path, rng, monkeypatch):
     })
     assert len(ds) == 4
     assert ds[0]["lr"].shape == (32, 32, 6)
+
+
+def test_unreadable_naip_is_skipped_not_fatal(tmp_path, rng, capsys):
+    """Beyond-reference robustness: a corrupt NAIP png is skipped with a
+    warning (the reference reads it outside its skip guard,
+    s2-naip_dataset.py:171, and crashes when that chip is drawn)."""
+    from satlas_sr_tpu.data import build_dataset
+
+    s2, naip = _make_tree(tmp_path, rng, chips=3)
+    # truncate the first chip's NAIP (chips are visited in sorted order)
+    first = sorted((tmp_path / "naip").iterdir())[0]
+    png = next(first.glob("*.png"))
+    png.write_bytes(png.read_bytes()[:80])
+
+    ds = build_dataset({
+        "type": "S2NAIPDataset", "sentinel2_path": s2, "naip_path": naip,
+        "n_s2_images": 2, "phase": "train",
+    })
+    sample = ds[0]  # skip-and-advance lands on the next chip
+    assert sample["Index"] != 0
+    assert sample["hr"].shape == (128, 128, 3)
+    assert "skipping unreadable png" in capsys.readouterr().out
