@@ -208,3 +208,41 @@ def test_train_cli_smoke_metric_trend(tmp_path, rng):
     assert len(psnrs) >= 2, f"expected >=2 validation evals, got {psnrs}"
     assert psnrs[-1] > psnrs[0] + 1.0, (
         f"validation PSNR did not rise: {psnrs}")
+
+
+def test_highresnet_overfit_raises_psnr(tmp_path, rng):
+    """HighResNet (pairwise log2(T) fusion path + shared-FusionBlock quirk)
+    under L2Model must also optimize: >= 2.5 dB in 120 steps on the same
+    fixed 4-sample batch as the SRCNN test."""
+    from satlas_sr_tpu.models import build_model
+
+    lr, hr = _smooth_pairs(rng, 4)
+    batch = {"lr": np.stack([lr, lr], 1), "hr": hr}  # [B, T=2, h, w, 3]
+
+    opt = {
+        "name": "overfit_hrn", "model_type": "L2Model", "scale": 4,
+        "manual_seed": 0, "is_train": True, "rank": 0, "world_size": 1,
+        "seed_with_rank": 0, "datasets": {}, "path": {},
+        "network_g": {"type": "HighResNet", "in_channels": 3,
+                      "mask_channels": 0, "revisits": 2,
+                      "hidden_channels": 16, "out_channels": 3,
+                      "kernel_size": 3, "residual_layers": 1,
+                      "output_size": 64, "zoom_factor": 4,
+                      "sr_kernel_size": 1},
+        "train": {"ema_decay": 0,
+                  "optim_g": {"type": "Adam", "lr": 2e-3, "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [100000],
+                                "gamma": 0.5},
+                  "total_iter": 120, "warmup_iter": -1},
+        "logger": {"print_freq": 1000, "save_checkpoint_freq": 100000},
+        "val": None,
+    }
+    model = build_model(opt)
+    mses = [float(model.train_iter(batch, it)["mse"]) for it in range(1, 121)]
+
+    assert all(np.isfinite(mses)), "non-finite training loss"
+    start = _psnr_from_mse(float(np.mean(mses[:10])))
+    end = _psnr_from_mse(float(np.mean(mses[-10:])))
+    assert end - start >= 2.5, (
+        f"HighResNet is not optimizing: PSNR went {start:.2f} -> {end:.2f} dB "
+        f"(+{end - start:.2f}), expected >= +2.5 dB in 120 steps")
