@@ -36,6 +36,7 @@ OK, WARN, ERR = "ok", "WARNING", "ERROR"
 class Report:
     def __init__(self) -> None:
         self.rows: List[Tuple[str, str, str]] = []
+        self.fetchable: List[str] = []  # registry artifacts for missing files
 
     def add(self, level: str, area: str, msg: str) -> None:
         self.rows.append((level, area, msg))
@@ -45,9 +46,38 @@ class Report:
         for level, area, msg in self.rows:
             tag = {OK: "  ok  ", WARN: " WARN ", ERR: "ERROR "}[level]
             print(f"[{tag}] {area:<{width}}  {msg}")
+        if self.fetchable:
+            names = " ".join(dict.fromkeys(self.fetchable))  # dedup, ordered
+            print(f"\nhint: missing artifact(s) are downloadable — "
+                  f"python -m satlas_sr_tpu.fetch get {names} --dest <dir>")
         errors = sum(1 for l, _, _ in self.rows if l == ERR)
         warns = sum(1 for l, _, _ in self.rows if l == WARN)
         return errors, warns
+
+
+def _fetch_artifact_for(area: str, path: str) -> str:
+    """Map a missing config path to a fetch-registry artifact name, if any
+    (the registry mirrors the reference README's Download tables)."""
+    from .fetch import REGISTRY
+
+    stem = os.path.basename(path)
+    for suffix in (".pth", ".tar", ".json"):
+        stem = stem.removesuffix(suffix)
+    if stem in REGISTRY:  # e.g. pretrain_network_g: weights/esrgan_8S2.pth
+        return stem
+    aliases = {"srcnn_s2naip": "srcnn", "highresnet_s2naip": "highresnet"}
+    if stem in aliases:
+        return aliases[stem]
+    if area.endswith(".tile_weights"):
+        return "train_tile_weights"
+    if area.endswith(".osm_objs_path"):
+        return "osm_chips_to_masks"
+    # dataset roots: .../{set_name}/{naip|sentinel2}
+    for part in os.path.normpath(path).split(os.sep):
+        if part in ("train_urban_set", "train_full_set", "val_set",
+                    "small_val_set", "test_set", "old_naip"):
+            return part
+    return ""
 
 
 def _check_file(rep: Report, area: str, path: Any, required: bool) -> None:
@@ -56,6 +86,9 @@ def _check_file(rep: Report, area: str, path: Any, required: bool) -> None:
     path = os.path.expanduser(str(path))
     if not os.path.exists(path):
         rep.add(ERR if required else WARN, area, f"missing: {path}")
+        artifact = _fetch_artifact_for(area, path)
+        if artifact:
+            rep.fetchable.append(artifact)
     elif os.path.isfile(path) and os.path.getsize(path) == 0:
         rep.add(ERR, area, f"empty file: {path}")
     else:
@@ -97,6 +130,8 @@ def _check_config(rep: Report, opt: Dict[str, Any], kind: str) -> None:
             _check_file(rep, f"{area}.osm_objs_path", ds.get("osm_objs_path"),
                         required=True)
             _check_file(rep, f"{area}.tile_weights", ds.get("tile_weights"),
+                        required=True)
+            _check_file(rep, f"{area}.old_naip_path", ds.get("old_naip_path"),
                         required=True)
             n_s2 = ds.get("n_s2_images")
             num_in = (opt.get("network_g") or {}).get("num_in_ch")

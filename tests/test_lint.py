@@ -129,6 +129,34 @@ def test_doctor_missing_paths_fail(tmp_path, capsys):
     assert "missing" in out and "nope.pth" in out
 
 
+def test_doctor_hints_fetchable_artifacts(tmp_path, capsys):
+    """Missing files that map to reference-published artifacts get the exact
+    fetch command (weights by basename, tile_weights/osm by key, dataset
+    roots by set name)."""
+    opt = _mini_train_opt(tmp_path, with_data=False)
+    opt["path"]["pretrain_network_g"] = str(tmp_path / "w" / "esrgan_8S2.pth")
+    ds = opt["datasets"]["train"]
+    ds["sentinel2_path"] = str(tmp_path / "val_set" / "sentinel2")
+    ds["naip_path"] = str(tmp_path / "val_set" / "naip")
+    ds["tile_weights"] = str(tmp_path / "tw.json")
+    ds["osm_objs_path"] = str(tmp_path / "osm_chips_to_masks.json")
+    ds["old_naip_path"] = str(tmp_path / "old_naip")
+    assert run_doctor(opt, check_runtime=False) == 1
+    out = capsys.readouterr().out
+    assert "python -m satlas_sr_tpu.fetch get" in out
+    hint = [l for l in out.splitlines() if "fetch get" in l][0]
+    for name in ("esrgan_8S2", "val_set", "train_tile_weights",
+                 "osm_chips_to_masks", "old_naip"):
+        assert name in hint
+    assert hint.count("val_set") == 1  # deduplicated across s2+naip roots
+
+
+def test_doctor_no_hint_when_all_present(tmp_path, capsys):
+    opt = _mini_train_opt(tmp_path)
+    assert run_doctor(opt, check_runtime=False) == 0
+    assert "fetch get" not in capsys.readouterr().out
+
+
 def test_doctor_strict_fails_on_warnings(tmp_path):
     opt = _mini_train_opt(tmp_path)
     opt["train"]["perceptual_opt"] = {"type": "PerceptualLoss",
