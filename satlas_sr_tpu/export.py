@@ -118,36 +118,36 @@ def export_artifact(
     # Write-to-temp + rename-after-check: a failed bit-exactness check must
     # not leave a known-bad (but valid-looking) artifact at the requested
     # path for a deploy glob or retry to pick up.
+    # Decide the check verdict BEFORE writing: the weights-embedding payload
+    # can be hundreds of MB, so the zip must be deflated exactly once. An
+    # artifact stamped checked=true only survives if the verification below
+    # passes (any failure deletes the tmp file on the way out).
+    backend = jax.default_backend()
+    will_check = check and backend in exported.platforms
+    if check and not will_check:
+        print(f"check skipped: current backend '{backend}' not in "
+              f"exported platforms {list(exported.platforms)}")
+    meta["checked"] = will_check
+
     tmp_path = out_path + ".tmp"
     with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_META_NAME, json.dumps(meta, indent=1))
         z.writestr(_MODULE_NAME, payload)
     try:
-        if check:
-            backend = jax.default_backend()
-            if backend not in exported.platforms:
-                print(f"check skipped: current backend '{backend}' not in "
-                      f"exported platforms {list(exported.platforms)}")
-            else:
-                loaded = ExportedEngine(tmp_path, batch_size=engine.batch_size)
-                rng = np.random.RandomState(0)
-                # `dims` is already the engine's per-sample input shape (5-D
-                # frame-split for use_3d models), so one batch drives both
-                # paths.
-                x = (rng.rand(engine.batch_size, *dims) * 255).astype(np.uint8)
-                ref = engine.run(x)
-                got = loaded.run(x)
-                if not np.array_equal(ref, got):
-                    raise AssertionError(
-                        "exported artifact output differs from the live engine")
-                meta["checked"] = True
-                # rewrite so the artifact's own meta.json records the check
-                # (not just the returned dict)
-                with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as z:
-                    z.writestr(_META_NAME, json.dumps(meta, indent=1))
-                    z.writestr(_MODULE_NAME, payload)
-                print(f"check ok: artifact matches the live engine bit-exactly "
-                      f"on a random batch ({backend})")
+        if will_check:
+            loaded = ExportedEngine(tmp_path, batch_size=engine.batch_size)
+            rng = np.random.RandomState(0)
+            # `dims` is already the engine's per-sample input shape (5-D
+            # frame-split for use_3d models), so one batch drives both
+            # paths.
+            x = (rng.rand(engine.batch_size, *dims) * 255).astype(np.uint8)
+            ref = engine.run(x)
+            got = loaded.run(x)
+            if not np.array_equal(ref, got):
+                raise AssertionError(
+                    "exported artifact output differs from the live engine")
+            print(f"check ok: artifact matches the live engine bit-exactly "
+                  f"on a random batch ({backend})")
         os.replace(tmp_path, out_path)
     except BaseException:
         try:

@@ -39,6 +39,7 @@ import sys
 import tarfile
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Dict, List, Optional
 
@@ -156,7 +157,17 @@ def download(url: str, dest: str, *, resume: bool = True, retries: int = 3,
         if have:
             req.add_header("Range", f"bytes={have}-")
         try:
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
+            try:
+                resp_ctx = urllib.request.urlopen(req, timeout=timeout)
+            except urllib.error.HTTPError as e:
+                if e.code == 416 and have:
+                    # Range past the end: the .part already holds the full
+                    # body (killed between the last write and the rename).
+                    # Promote it instead of retrying the same header forever.
+                    os.replace(part, dest)
+                    return dest
+                raise
+            with resp_ctx as resp:
                 status = getattr(resp, "status", resp.getcode())
                 if have and status != 206:
                     # server ignored Range (or file changed): restart clean
@@ -232,7 +243,10 @@ def fetch_artifact(name: str, dest_dir: str, *, extract: bool = True,
                          f"--url only supports single-part overrides")
     paths: List[str] = []
     for u in urls:
-        local = os.path.join(dest_dir, os.path.basename(u))
+        # basename of the URL *path* — presigned mirror URLs carry query
+        # strings (auth tokens) that must reach neither the filename nor disk
+        local = os.path.join(
+            dest_dir, os.path.basename(urllib.parse.urlsplit(u).path))
         if no_download:
             if not os.path.exists(local):
                 raise FileNotFoundError(
@@ -252,7 +266,16 @@ def fetch_artifact(name: str, dest_dir: str, *, extract: bool = True,
 
     if extract and entry["kind"] == "tar":
         for p in paths:
+            # extraction marker: re-running `fetch get` on a multi-GB tar
+            # must be O(1), not a full re-extract over the existing tree
+            marker = p + ".extracted"
+            if os.path.exists(marker):
+                print(f"{os.path.basename(p)}: already extracted "
+                      f"(remove {marker} to force)")
+                continue
             n = safe_extract_tar(p, dest_dir)
+            with open(marker, "w") as f:
+                f.write(f"members={n}\n")
             print(f"extracted {n} members from {os.path.basename(p)} "
                   f"into {dest_dir}")
     elif entry["kind"] == "7z":

@@ -25,13 +25,16 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         srv = self.server
         srv.requests.append(dict(self.headers))
-        body = srv.files.get(self.path)
+        body = srv.files.get(self.path.split("?")[0])
         if body is None:
             self.send_error(404)
             return
         rng = self.headers.get("Range")
         if rng and not srv.ignore_range:
             start = int(rng.split("=")[1].rstrip("-"))
+            if start >= len(body):  # real servers: Range Not Satisfiable
+                self.send_error(416)
+                return
             part = body[start:]
             self.send_response(206)
             self.send_header("Content-Range",
@@ -110,16 +113,32 @@ def test_download_restarts_when_server_ignores_range(http_server, tmp_path):
     assert open(dest, "rb").read() == body
 
 
-def test_download_short_read_retries_then_raises(http_server, tmp_path):
-    http_server.files["/d.bin"] = b"x" * 1000
-    http_server.lie_length = 500  # Content-Length > body: every read is short
+def test_download_short_read_retries_then_416_selfheals(http_server, tmp_path):
+    """A server lying about Content-Length causes a short-read retry; the
+    resume Range then gets 416 (part already holds the whole body) and the
+    .part is promoted instead of retrying the same header forever."""
+    body = b"x" * 1000
+    http_server.files["/d.bin"] = body
+    http_server.lie_length = 500  # Content-Length > body: first read is short
     dest = str(tmp_path / "d.bin")
     naps = []
-    with pytest.raises(OSError, match="download failed after 2 attempts"):
-        download(_url(http_server, "/d.bin"), dest, retries=2,
-                 progress=False, _sleep=naps.append)
+    out = download(_url(http_server, "/d.bin"), dest, retries=2,
+                   progress=False, _sleep=naps.append)
     assert len(naps) == 1  # slept between the two attempts
-    assert not os.path.exists(dest)
+    assert open(out, "rb").read() == body
+    assert not os.path.exists(dest + ".part")
+
+
+def test_download_full_part_file_promoted_on_416(http_server, tmp_path):
+    body = os.urandom(90_000)
+    http_server.files["/e.bin"] = body
+    dest = str(tmp_path / "e.bin")
+    with open(dest + ".part", "wb") as f:
+        f.write(body)  # killed between last write and the atomic rename
+    download(_url(http_server, "/e.bin"), dest, retries=1, progress=False,
+             _sleep=lambda s: None)
+    assert open(dest, "rb").read() == body
+    assert not os.path.exists(dest + ".part")
 
 
 def test_download_404_raises_with_url_in_message(http_server, tmp_path):
@@ -186,6 +205,41 @@ def test_fetch_artifact_downloads_and_extracts(http_server, tmp_path,
     paths = fetch_artifact("small_val_set", str(tmp_path), progress=False)
     assert paths == [str(tmp_path / "small_val.tar")]
     assert (tmp_path / "small_val_set/naip/c/img.png").read_bytes() == b"hi"
+
+
+def test_fetch_artifact_rerun_skips_extraction(http_server, tmp_path,
+                                               monkeypatch, capsys):
+    tar_bytes = _make_tar({"val_set/naip/c/img.png": b"v1"})
+    http_server.files["/val.tar"] = tar_bytes
+    monkeypatch.setitem(
+        REGISTRY, "val_set",
+        {"urls": [_url(http_server, "/val.tar")], "kind": "tar", "about": "t"})
+    fetch_artifact("val_set", str(tmp_path), progress=False)
+    extracted = tmp_path / "val_set/naip/c/img.png"
+    assert extracted.read_bytes() == b"v1"
+    extracted.write_bytes(b"user-modified")
+    fetch_artifact("val_set", str(tmp_path), progress=False)  # rerun: O(1)
+    assert extracted.read_bytes() == b"user-modified"  # NOT re-extracted
+    assert "already extracted" in capsys.readouterr().out
+    os.remove(str(tmp_path / "val.tar") + ".extracted")
+    fetch_artifact("val_set", str(tmp_path), progress=False)  # forced
+    assert extracted.read_bytes() == b"v1"
+
+
+def test_fetch_artifact_presigned_url_keeps_clean_filename(http_server,
+                                                           tmp_path,
+                                                           monkeypatch):
+    http_server.files["/esrgan_8S2.pth"] = b"weights"
+    monkeypatch.setitem(
+        REGISTRY, "esrgan_8S2",
+        {"urls": ["https://unused.example/esrgan_8S2.pth"], "kind": "file",
+         "about": "t"})
+    signed = _url(http_server, "/esrgan_8S2.pth") + "?X-Sig=SECRETTOKEN"
+    paths = fetch_artifact("esrgan_8S2", str(tmp_path), url=signed,
+                           progress=False)
+    assert paths == [str(tmp_path / "esrgan_8S2.pth")]  # query stripped
+    assert (tmp_path / "esrgan_8S2.pth").read_bytes() == b"weights"
+    assert not any("SECRETTOKEN" in n for n in os.listdir(tmp_path))
 
 
 def test_fetch_artifact_sha256_mismatch(http_server, tmp_path, monkeypatch):
