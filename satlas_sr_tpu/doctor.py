@@ -111,13 +111,18 @@ def _check_config(rep: Report, opt: Dict[str, Any], kind: str) -> None:
                 required=True)
 
     if kind == "infer":
+        from .utils.infer_utils import channels_per_frame
+
         _check_file(rep, "data_dir", opt.get("data_dir"), required=True)
         n_lr = opt.get("n_lr_images")
         num_in = (opt.get("network_g") or {}).get("num_in_ch")
-        if n_lr and num_in and int(num_in) != 3 * int(n_lr):
+        c = channels_per_frame(opt.get("s2_bands"))
+        if n_lr and num_in and int(num_in) != c * int(n_lr):
             rep.add(ERR, "consistency",
                     f"network_g.num_in_ch={num_in} but n_lr_images={n_lr} "
-                    f"stacks {3 * int(n_lr)} channels")
+                    f"stacks {c * int(n_lr)} channels"
+                    + (f" with s2_bands={opt['s2_bands']}"
+                       if opt.get("s2_bands") else ""))
         return
 
     for section in ("datasets", "test_datasets"):

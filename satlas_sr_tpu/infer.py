@@ -39,10 +39,13 @@ def load_infer_variables(opt: dict, model, n_lr_images: int, use_3d: bool):
             path_opt.get("param_key_g", "params_ema"),
         )
     print("WARNING: Model weights are not specified in configuration file.")
+    from .utils.infer_utils import channels_per_frame
+
+    c = channels_per_frame(opt.get("s2_bands"))
     example = (
         np.zeros((1, n_lr_images, 32, 32, 3), np.float32)
         if use_3d
-        else np.zeros((1, 32, 32, n_lr_images * 3), np.float32)
+        else np.zeros((1, 32, 32, n_lr_images * c), np.float32)
     )
     return model.init(jax.random.PRNGKey(0), example)
 
@@ -64,6 +67,22 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
 
     use_3d = uses_3d_input(opt["network_g"]["type"])
 
+    s2_bands = opt.get("s2_bands")
+    if s2_bands:
+        # multi-band GT-free inference (beyond the reference, whose infer
+        # path reads tci-only series — its esrgan_{10m,20m,60m} checkpoints
+        # have no runnable infer story upstream): data_dir is a dataset-style
+        # root of {chip}/{band}.png dirs, stacked like the training loader
+        from .utils.infer_utils import normalize_bands
+
+        if grid_naming:
+            raise ValueError("s2_bands is not supported for infer_grid "
+                             "(grid tiles ship chunk-level tci pngs only)")
+        if use_3d:
+            raise ValueError("s2_bands requires SSR_RRDBNet (the use_3d "
+                             "models take 3-channel revisits)")
+        s2_bands = normalize_bands(s2_bands)
+
     model = build_network(opt)
     variables = load_infer_variables(opt, model, n_lr_images, use_3d)
 
@@ -72,7 +91,13 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
         matmul_precision=str(opt.get("matmul_precision", "highest")),
     )
 
-    pngs = sorted(glob.glob(os.path.join(data_dir, "**", "*.png"), recursive=True))
+    if s2_bands:
+        # corpus unit = one chip directory (identified by its required tci)
+        pngs = sorted(
+            os.path.dirname(p) for p in
+            glob.glob(os.path.join(data_dir, "**", "tci.png"), recursive=True))
+    else:
+        pngs = sorted(glob.glob(os.path.join(data_dir, "**", "*.png"), recursive=True))
     total = len(pngs)
     # Multi-process: each process takes a contiguous shard of the sorted
     # corpus (grid mode shards whole tiles so every tile's chunks — and its
@@ -120,6 +145,12 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
     def decode(arg):
         bi, bp = arg
         # global-index seeding: formatting is invariant to batch size
+        if s2_bands:
+            from .utils.infer_utils import format_s2naip_multiband_batch
+
+            return bp, format_s2naip_multiband_batch(
+                bp, s2_bands, n_lr_images, seed=seed,
+                index_offset=global_start + bi * engine.batch_size)
         return bp, format_s2naip_batch(bp, n_lr_images, seed=seed,
                                        index_offset=global_start + bi * engine.batch_size)
 

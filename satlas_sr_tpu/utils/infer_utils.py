@@ -169,3 +169,86 @@ def stitch(
                 tile = tile.reshape(-1, 32, 32, 3)[0]
             canvas[i * chunk : (i + 1) * chunk, j * chunk : (j + 1) * chunk] = tile
     write_png(save_path, canvas)
+
+
+def normalize_bands(s2_bands) -> List[str]:
+    """Band list with tci forced to the front (the training loader's rule,
+    data/s2naip.py; reference s2-naip_dataset.py:73-75)."""
+    bands = [str(b) for b in (s2_bands or ["tci"])]
+    if "tci" in bands:
+        bands.remove("tci")
+    return ["tci"] + bands
+
+
+def channels_per_frame(s2_bands) -> int:
+    """Per-frame channel count for a band list: tci carries 3, others 1
+    (reference s2-naip_dataset.py:184-199)."""
+    return 2 + len(normalize_bands(s2_bands))
+
+
+def load_band_stack(chip_dir: str, bands: Sequence[str]) -> np.ndarray:
+    """Dataset-layout chip dir ({chip_dir}/{band}.png) -> [T, 32, 32, C_total].
+
+    Band semantics mirror the training loader (data/s2naip.py _load_bands;
+    reference s2-naip_dataset.py:184-199): tci is 3-channel and REQUIRED,
+    other bands are 1-channel, a missing band file zero-fills at tci's frame
+    count. Where training silently skips a chip whose bands disagree on frame
+    count, GT-free inference raises — there is no next chip to advance to.
+    """
+    tci_path = os.path.join(chip_dir, "tci.png")
+    tci = read_png(tci_path)  # raises when missing/undecodable
+    if tci.shape[0] % 32 != 0 or tci.shape[1] != 32 or tci.shape[-1] != 3:
+        raise ValueError(f"{tci_path}: expected [T*32, 32, 3], got {tci.shape}")
+    n_frames = tci.shape[0] // 32
+    per_band = [tci.reshape(n_frames, 32, 32, 3)]
+    for band in bands:
+        if band == "tci":
+            continue
+        path = os.path.join(chip_dir, f"{band}.png")
+        if not os.path.exists(path):
+            per_band.append(np.zeros((n_frames, 32, 32, 1), np.uint8))
+            continue
+        img = read_png(path)
+        if img.shape[0] % 32 != 0 or img.shape[1] != 32:
+            raise ValueError(f"{path}: expected [T*32, 32, C], got {img.shape}")
+        if img.shape[0] // 32 != n_frames:
+            raise ValueError(
+                f"{path}: {img.shape[0] // 32} frames but tci has {n_frames}")
+        per_band.append(img.reshape(n_frames, 32, 32, img.shape[-1]))
+    return np.concatenate(per_band, axis=-1)
+
+
+def format_s2naip_multiband(
+    chip_dir: str, bands: Sequence[str], n_s2_images: int,
+    rng: np.random.RandomState | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chip dir -> ([32, 32, T*C_total] channel-stacked uint8, tci preview).
+
+    Frame goodness is judged on tci with the INFERENCE predicate (any zero
+    element — format_s2naip_data above); selected frames carry all bands.
+    """
+    rng = rng or np.random.RandomState(0)
+    stack = load_band_stack(chip_dir, bands)
+    tci = stack[..., :3]
+    frame_is_bad = (tci == 0).any(axis=(1, 2, 3))
+    indices = select_frames(frame_is_bad, n_s2_images, rng)
+    picked = stack[indices]  # [T, 32, 32, C_total]
+    return np.concatenate(list(picked), axis=-1), stack[0, ..., :3]
+
+
+def format_s2naip_multiband_batch(
+    chip_dirs: Sequence[str], bands: Sequence[str], n_s2_images: int,
+    seed: int = 0, index_offset: int = 0,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Many chip dirs -> ([B, 32, 32, T*C_total] uint8, tci previews).
+
+    Same global-index RNG seeding contract as format_s2naip_batch: the
+    formatted corpus is invariant to batch size and process sharding.
+    """
+    inputs, previews = [], []
+    for i, chip_dir in enumerate(chip_dirs):
+        rng = np.random.RandomState(seed + index_offset + i)
+        x, preview = format_s2naip_multiband(chip_dir, bands, n_s2_images, rng)
+        inputs.append(x)
+        previews.append(preview)
+    return np.stack(inputs), previews

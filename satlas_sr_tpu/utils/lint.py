@@ -131,7 +131,7 @@ _TOP_TRAIN = {
 
 _TOP_INFER = {
     "name": None, "model_type": None, "data_dir": None, "save_path": None,
-    "n_lr_images": None,
+    "n_lr_images": None, "s2_bands": None,
     "batch_size": None, "grid_size": None, "whole_tile": None, "halo": None,
     "halo_window": None, "spatial_shards": None, "decode_prefetch": None,
     "manual_seed": None, "scale": None, "num_gpu": None,

@@ -35,8 +35,14 @@ def build_network(opt: Dict[str, Any]):
     dtype = compute_dtype(opt)
 
     if model_type == "SSR_RRDBNet":
+        # per-frame channels: 3 (tci) + 1 per extra band when the infer
+        # config stacks more than tci (s2_bands — beyond the reference,
+        # whose infer path is tci-only and cannot run its own band-variant
+        # esrgan_{10m,20m,60m} checkpoints)
+        from .infer_utils import channels_per_frame
+
         return RRDBNet(
-            num_in_ch=n_lr_images * 3,
+            num_in_ch=n_lr_images * channels_per_frame(opt.get("s2_bands")),
             num_out_ch=3,
             scale=scale,
             num_feat=int(model_opt["num_feat"]),
