@@ -37,16 +37,41 @@ from ..utils.imgio import write_png
 from ..utils.logger import get_root_logger
 
 
-def multistep_lr(base_lr: float, milestones, gamma: float, warmup_iter: int = -1) -> Callable:
-    """basicsr MultiStepLR + linear warmup as an optax-style schedule."""
+def multistep_lr(base_lr: float, milestones, gamma: float, warmup_iter: int = -1,
+                 restarts=None, restart_weights=None) -> Callable:
+    """basicsr MultiStepLR/MultiStepRestartLR + linear warmup, as an
+    optax-style pure schedule.
+
+    Restart semantics (basicsr MultiStepRestartLR, stateful in torch): at a
+    restart step the lr resets to base*weight and earlier milestone decays
+    are forgotten; expressed functionally, lr(s) = base * W[latest restart
+    <= s] * gamma^(#milestones in (that restart, s]). Defaults
+    restarts=[0], restart_weights=[1] reduce exactly to MultiStepLR.
+    """
     ms = np.sort(np.asarray(milestones or [], dtype=np.int64))
+    rs = np.asarray(sorted(restarts or [0]), dtype=np.int64)
+    rw = np.asarray(restart_weights or [1.0] * len(rs), dtype=np.float32)
+    if len(rw) != len(rs):
+        raise ValueError(f"restarts ({len(rs)}) and restart_weights "
+                         f"({len(rw)}) must pair up")
+    if rs[0] != 0:  # basicsr requires an implicit start period
+        rs = np.concatenate([[0], rs])
+        rw = np.concatenate([[1.0], rw])
 
     def schedule(step):
         # `step` is the optax update count = completed updates = torch
         # last_epoch (basicsr steps the scheduler BEFORE the i-th update for
         # i > 1, so the i-th update uses gamma^{#milestones <= i-1}).
-        factor = jnp.power(gamma, jnp.sum(step >= jnp.asarray(ms))) if len(ms) else 1.0
-        lr = base_lr * factor
+        r_idx = jnp.sum(step >= jnp.asarray(rs)) - 1
+        r_start = jnp.asarray(rs)[r_idx]
+        weight = jnp.asarray(rw)[r_idx]
+        if len(ms):
+            n_decays = jnp.sum((jnp.asarray(ms) > r_start)
+                               & (step >= jnp.asarray(ms)))
+            factor = jnp.power(gamma, n_decays)
+        else:
+            factor = 1.0
+        lr = base_lr * weight * factor
         if warmup_iter > 0:
             # basicsr warms with CURRENT_ITER (1-based): lr_i = base * i /
             # warmup for i < warmup — count+1, not count (count alone would
@@ -147,6 +172,8 @@ class BaseModel:
             sched_opt.get("milestones", []),
             float(sched_opt.get("gamma", 0.5)),
             int(train_opt.get("warmup_iter", -1) or -1),
+            restarts=sched_opt.get("restarts"),
+            restart_weights=sched_opt.get("restart_weights"),
         )
         self._schedules.append(schedule)
         return schedule

@@ -44,7 +44,8 @@ _METRIC = {
 _OPTIM = {"type": None, "lr": None, "betas": None, "weight_decay": None,
           "momentum": None}
 
-_SCHEDULER = {"type": None, "milestones": None, "gamma": None}
+_SCHEDULER = {"type": None, "milestones": None, "gamma": None,
+              "restarts": None, "restart_weights": None}
 
 _TRAIN = {
     "total_iter": None, "warmup_iter": None, "ema_decay": None,

@@ -55,6 +55,49 @@ def test_multistep_lr_matches_torch_exactly():
     np.testing.assert_allclose(got, want, rtol=1e-7)
 
 
+def _basicsr_restart_lr_sequence(base, milestones, gamma, restarts, weights,
+                                 steps):
+    """Stateful oracle replicating basicsr MultiStepRestartLR.get_lr: a
+    restart epoch resets lr to base*weight (milestone decays forgotten); a
+    milestone epoch multiplies the running lr by gamma^count."""
+    from collections import Counter
+
+    ms = Counter(milestones)
+    lr = base
+    out = []
+    for epoch in range(steps):
+        if epoch in restarts:
+            lr = base * weights[restarts.index(epoch)]
+        elif epoch in ms:
+            lr = lr * gamma ** ms[epoch]
+        out.append(lr)
+    return out
+
+
+def test_multistep_restart_lr_matches_basicsr_oracle():
+    base, gamma = 1e-4, 0.5
+    milestones = [10, 20, 35, 50]
+    restarts, weights = [0, 25, 40], [1.0, 0.5, 0.25]
+    sched = multistep_lr(base, milestones, gamma, warmup_iter=-1,
+                         restarts=restarts, restart_weights=weights)
+    want = _basicsr_restart_lr_sequence(base, milestones, gamma, restarts,
+                                        weights, 60)
+    got = [float(sched(e)) for e in range(60)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # defaults reduce exactly to plain MultiStepLR
+    plain = multistep_lr(base, milestones, gamma)
+    restart_default = multistep_lr(base, milestones, gamma,
+                                   restarts=[0], restart_weights=[1])
+    for e in range(60):
+        assert float(plain(e)) == float(restart_default(e))
+
+
+def test_multistep_restart_lr_validates_pairing():
+    with pytest.raises(ValueError, match="must pair up"):
+        multistep_lr(1e-4, [10], 0.5, restarts=[0, 5],
+                     restart_weights=[1.0])
+
+
 def test_warmup_ramp_matches_basicsr_formula():
     base, warmup = 1e-3, 10
     sched = multistep_lr(base, [], 0.5, warmup_iter=warmup)
