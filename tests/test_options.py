@@ -122,3 +122,17 @@ def test_make_exp_dirs_archives_existing(tmp_path):
     (root / "dbg.txt").write_text("x")
     make_exp_dirs(opt, archive_existing=True)
     assert (root / "dbg.txt").exists()
+
+
+def test_package_main_lists_real_clis(capsys):
+    """`python -m satlas_sr_tpu` help stays in sync with the actual modules."""
+    import importlib
+
+    from satlas_sr_tpu.__main__ import CLIS, main
+
+    assert main() == 0
+    out = capsys.readouterr().out
+    for name, _ in CLIS:
+        assert f"satlas_sr_tpu.{name}" in out
+        mod = importlib.import_module(f"satlas_sr_tpu.{name}")
+        assert callable(getattr(mod, "main")), name
