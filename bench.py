@@ -208,16 +208,52 @@ def _stall_watchdog(interval_s: float = 120.0):
     return done
 
 
+def _devices_or_die(timeout_s: float):
+    """jax.devices() bounded by a deadline: a dead TPU tunnel blocks backend
+    init in an uninterruptible retry loop, and a silent harness timeout
+    records NOTHING for the round. Past the deadline, emit the standard JSON
+    line with an explicit error field (value 0.0 — unambiguously not a
+    measurement) and exit nonzero so the failure is attributable."""
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            import jax
+
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report rather than hang
+            box["error"] = str(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return box["devices"]
+    why = box.get("error", f"backend init exceeded {timeout_s:.0f}s "
+                           f"(TPU tunnel/plugin unreachable)")
+    log(f"FATAL: {why}")
+    print(json.dumps({
+        "metric": "512x512 SR tiles/sec/chip (esrgan_8S2)",
+        "value": 0.0,
+        "unit": "tiles/s",
+        "vs_baseline": None,
+        "error": why,
+    }))
+    sys.exit(3)
+
+
 def main():
     watchdog_done = _stall_watchdog()
-    import jax
 
     from satlas_sr_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    backend_timeout = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "900"))
+    devices = _devices_or_die(backend_timeout)
 
     if "--train" in sys.argv:
-        jax.devices()  # backend up — stop the stall watchdog
         watchdog_done.set()
         batch = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
         sps = train_bench(batch)
@@ -230,7 +266,6 @@ def main():
         }))
         return
 
-    devices = jax.devices()
     watchdog_done.set()
     log("devices:", devices)
     on_accel = devices[0].platform != "cpu"
