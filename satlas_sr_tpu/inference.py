@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .parallel.mesh import data_mesh, mesh_2d, mesh_axis_size, shard_batch
+from .utils.jax_cache import ssr_jit
 
 
 class InferenceEngine:
@@ -82,7 +83,7 @@ class InferenceEngine:
             self.variables = jax.device_put(variables)
         self._precision = matmul_precision
 
-        @jax.jit
+        @ssr_jit
         def _run(variables, x_uint8):
             with jax.default_matmul_precision(self._precision):
                 x = x_uint8.astype(self.model.dtype) / jnp.asarray(255.0, self.model.dtype)

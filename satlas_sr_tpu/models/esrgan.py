@@ -34,6 +34,7 @@ from ..ops.resize import upsample_nearest
 from ..ops.usm import usm_sharp
 from ..registry import MODEL_REGISTRY
 from .base import BaseModel, build_optimizer, ema_update, to_uint8
+from ..utils.jax_cache import ssr_jit
 
 
 @MODEL_REGISTRY.register("SSRESRGANModel")
@@ -331,7 +332,7 @@ class ESRGANModel(BaseModel):
             logs = {**g_logs, **d_logs}
             return new_state, logs
 
-        return jax.jit(step, donate_argnums=(0,))
+        return ssr_jit(step, donate_argnums=(0,))
 
     def _build_accum_train_step(self):
         """Gradient-accumulation variant: inputs are [k, b, ...] micro-batch
@@ -440,7 +441,7 @@ class ESRGANModel(BaseModel):
             d_mean = {kk: jnp.mean(v) for kk, v in d_logs.items()}
             return new_state, {**g_logs, **d_mean}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return ssr_jit(step, donate_argnums=(0,))
 
     def _g_log_keys(self):
         """Exactly the keys g_update logs — both lax.cond branches must match."""
@@ -462,7 +463,7 @@ class ESRGANModel(BaseModel):
         net_g = self.net_g
         precision = str(self.opt.get("matmul_precision", "highest"))
 
-        @jax.jit
+        @ssr_jit
         def step(params, lr_u8):
             with jax.default_matmul_precision(precision):
                 lr = lr_u8.astype(jnp.float32) / 255.0

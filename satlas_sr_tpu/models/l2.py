@@ -21,6 +21,7 @@ from ..archs import build_arch
 from ..ops.ssim import ssim_loss as ssim_loss_map
 from ..registry import MODEL_REGISTRY
 from .base import BaseModel, build_optimizer, to_uint8
+from ..utils.jax_cache import ssr_jit
 
 
 @MODEL_REGISTRY.register("L2Model")
@@ -118,13 +119,13 @@ class L2Model(BaseModel):
                 new_state["ema"] = ema_update(state["ema"], new_params, ema_decay)
             return new_state, logs
 
-        return jax.jit(step, donate_argnums=(0,))
+        return ssr_jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self):
         model = self.net_g
         precision = str(self.opt.get("matmul_precision", "highest"))
 
-        @jax.jit
+        @ssr_jit
         def step(params, lr_u8):
             with jax.default_matmul_precision(precision):
                 lr = lr_u8.astype(jnp.float32) / 255.0

@@ -25,6 +25,7 @@ import numpy as np
 from ..ops.crop import crop_resize_boxes
 from ..registry import MODEL_REGISTRY
 from .base import ema_update
+from ..utils.jax_cache import ssr_jit
 from .esrgan import ESRGANModel
 
 
@@ -153,7 +154,7 @@ class OSMObjESRGANModel(ESRGANModel):
                 new_state["ema"] = ema_update(state["ema"], new_g_params, ema_decay)
             return new_state, {**g_logs, **d_logs}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return ssr_jit(step, donate_argnums=(0,))
 
     def _build_accum_train_step(self):
         """Gradient-accumulation variant of the OSM step (round 3 — the
@@ -306,7 +307,7 @@ class OSMObjESRGANModel(ESRGANModel):
             d_mean = {kk: jnp.mean(v) for kk, v in d_logs.items()}
             return new_state, {**g_logs, **d_mean}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return ssr_jit(step, donate_argnums=(0,))
 
     # ----------------------------------------------------------------- driver
 

@@ -14,7 +14,50 @@ uses a watchdog thread for the same reason, doctor.py _devices_with_timeout).
 
 from __future__ import annotations
 
+import json
 import os
+
+
+def compiler_options() -> "dict | None":
+    """Extra XLA compiler options from SSR_TPU_COMPILER_OPTIONS (JSON dict).
+
+    e.g. SSR_TPU_COMPILER_OPTIONS='{"xla_tpu_scoped_vmem_limit_kib":"65536"}'
+
+    Measured on the hosted `axon` tunnel (round 4): XLA_FLAGS cannot carry
+    TPU backend flags at all — the local client's parse_flags_from_env
+    aborts on unknown --xla_tpu_* flags because libtpu is remote. PJRT
+    compiler_options ride each compile request to the remote compiler
+    instead (verified accepted), and are the JAX-idiomatic per-program
+    mechanism anyway. scripts/xla_flag_sweep.py sweeps through this hook.
+    """
+    raw = os.environ.get("SSR_TPU_COMPILER_OPTIONS")
+    if not raw:
+        return None
+    opts = json.loads(raw)
+    if not isinstance(opts, dict):
+        raise ValueError(
+            f"SSR_TPU_COMPILER_OPTIONS must be a JSON object, got {raw!r}")
+    return {str(k): str(v) for k, v in opts.items()}
+
+
+def ssr_jit(fun=None, **jit_kwargs):
+    """jax.jit wrapper that injects env-configured XLA compiler options.
+
+    Drop-in for the framework's hot jit sites (inference engine, train/eval
+    steps) so a single env var reaches every compiled program without
+    threading a parameter through every constructor. Usable as @ssr_jit or
+    ssr_jit(f, donate_argnums=...).
+    """
+    import jax
+
+    opts = compiler_options()
+    if opts:
+        merged = dict(opts)
+        merged.update(jit_kwargs.pop("compiler_options", None) or {})
+        jit_kwargs["compiler_options"] = merged
+    if fun is None:
+        return lambda f: jax.jit(f, **jit_kwargs)
+    return jax.jit(fun, **jit_kwargs)
 
 
 def pin_platform() -> None:

@@ -8,11 +8,18 @@ not reach, chiefly the scoped-VMEM fusion budget (a larger budget lets
 the fusion pass keep more of the RDB partial products resident) and the
 latency-hiding scheduler.
 
-Each flag set runs `bench.py` in a FRESH subprocess (XLA flags are
-process-global and read once) with an isolated compilation-cache dir, so
-every config pays its own honest cold compile and the main cache stays
-clean. Unknown/rejected flags make that subprocess fail; the sweep
-records the failure and moves on.
+Transport (round-4 finding): XLA_FLAGS cannot carry TPU backend flags on
+this host at all — the tunneled `axon` client's parse_flags_from_env
+aborts on any --xla_tpu_* flag because libtpu lives on the remote side.
+PJRT per-program compiler options are the working channel: the framework's
+hot jit sites go through utils.jax_cache.ssr_jit, which injects the JSON
+dict in SSR_TPU_COMPILER_OPTIONS into every compile request. This sweep
+sets that env var per config.
+
+Each flag set runs `bench.py` in a FRESH subprocess with an isolated
+compilation-cache dir, so every config pays its own honest cold compile
+and the main cache stays clean. Options the remote compiler rejects make
+that subprocess fail; the sweep records the failure and moves on.
 
     python scripts/xla_flag_sweep.py            # inference program
     python scripts/xla_flag_sweep.py --train    # GAN train step
@@ -33,26 +40,28 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# name -> extra XLA flags. Candidates chosen for a conv-dominated,
-# HBM-bound single-chip program; collective-centric flags are pointless
-# here and omitted.
+# name -> PJRT compiler_options dict. Candidates chosen for a
+# conv-dominated, HBM-bound single-chip program; collective-centric flags
+# are pointless here and omitted.
 FLAG_SETS = {
-    "baseline": "",
+    "baseline": {},
     # fusion pass VMEM budget: default is small; the RDB dense concats are
     # exactly the "would fuse if VMEM allowed" shape. 48/64/96 MiB probes
     # the trade against conv pipelining (v5e VMEM is 128 MiB total).
-    "scoped_vmem_48m": "--xla_tpu_scoped_vmem_limit_kib=49152",
-    "scoped_vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "scoped_vmem_96m": "--xla_tpu_scoped_vmem_limit_kib=98304",
-    "latency_hiding": "--xla_tpu_enable_latency_hiding_scheduler=true",
+    "scoped_vmem_48m": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
+    "scoped_vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "scoped_vmem_96m": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "latency_hiding": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
 }
 
 
-def run_config(name: str, flags: str, train: bool, timeout: int,
+def run_config(name: str, flags: dict, train: bool, timeout: int,
                iters: int | None) -> dict:
     env = dict(os.environ)
-    base = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = (base + " " + flags).strip()
+    if flags:
+        env["SSR_TPU_COMPILER_OPTIONS"] = json.dumps(flags)
+    else:
+        env.pop("SSR_TPU_COMPILER_OPTIONS", None)
     # isolated compile cache: a flag change invalidates entries anyway;
     # keep the production cache free of sweep artifacts
     cache = tempfile.mkdtemp(prefix=f"xla_sweep_{name}_")
@@ -66,15 +75,15 @@ def run_config(name: str, flags: str, train: bool, timeout: int,
         proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                               text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return {"name": name, "flags": flags, "error": f"timeout {timeout}s"}
+        return {"name": name, "options": flags, "error": f"timeout {timeout}s"}
     line = next((l for l in proc.stdout.splitlines()
                  if l.startswith("{")), None)
     if proc.returncode != 0 or line is None:
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
-        return {"name": name, "flags": flags,
+        return {"name": name, "options": flags,
                 "error": f"rc={proc.returncode}: " + " | ".join(tail)}
     rec = json.loads(line)
-    return {"name": name, "flags": flags, "value": rec["value"],
+    return {"name": name, "options": flags, "value": rec["value"],
             "unit": rec["unit"]}
 
 
@@ -100,7 +109,7 @@ def main() -> int:
 
     results = []
     for name in names:
-        print(f"== {name}: {FLAG_SETS[name] or '(default flags)'}",
+        print(f"== {name}: {FLAG_SETS[name] or '(default options)'}",
               file=sys.stderr, flush=True)
         rec = run_config(name, FLAG_SETS[name], args.train, args.timeout,
                          args.iters)
