@@ -17,6 +17,7 @@ CLIS = [
     ("ckpt", "inspect/verify any checkpoint file"),
     ("fetch", "download published datasets/weights (resumable)"),
     ("profile", "device-trace a config's hot program + per-op summary"),
+    ("acceptance", "one-command PSNR-parity verdict vs a released checkpoint"),
 ]
 
 

@@ -1,0 +1,161 @@
+"""One-command parity acceptance, end-to-end against synthetic artifacts.
+
+Drives `python -m satlas_sr_tpu.acceptance` the exact way the first
+real-artifact session will: a Range-capable local HTTP server stands in for
+the R2 bucket, serving a tiny reference-format .pth and a small_val_set tar;
+the command must fetch, preflight, prove forward parity, dual-evaluate
+PSNR/SSIM, and write a machine-readable PARITY_RESULTS.json verdict.
+"""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from satlas_sr_tpu import acceptance, fetch
+from satlas_sr_tpu.archs import RRDBNet
+from satlas_sr_tpu.utils import torch_io
+from satlas_sr_tpu.utils.imgio import write_png
+
+from test_fetch import http_server, _url  # noqa: F401 — fixture reuse
+
+
+def _make_val_tree(root, rng, chips=4, frames=2):
+    for c in range(chips):
+        chip = f"{500 + c}_{600 + c}"
+        naip = (rng.rand(128, 128, 3) * 254 + 1).astype(np.uint8)
+        write_png(str(root / "naip" / chip / f"{chip}.png"), naip)
+        img = (rng.rand(frames * 32, 32, 3) * 254 + 1).astype(np.uint8)
+        write_png(str(root / "sentinel2" / chip / "tci.png"), img)
+
+
+def _make_weights(path, num_in_ch=6):
+    model = RRDBNet(num_in_ch=num_in_ch, num_out_ch=3, num_feat=8,
+                    num_block=1, num_grow_ch=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, num_in_ch)))
+    torch_io.save_torch_state_dict(
+        str(path), torch_io.rrdbnet_to_torch(variables), param_key="params_ema")
+
+
+def _tar_bytes(src_root, arcprefix):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for dirpath, _, files in os.walk(src_root):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                arc = os.path.join(arcprefix, os.path.relpath(full, src_root))
+                tf.add(full, arcname=arc)
+    return buf.getvalue()
+
+
+@pytest.fixture
+def artifacts(tmp_path, rng):
+    tree = tmp_path / "tree"
+    _make_val_tree(tree, rng)
+    pth = tmp_path / "esrgan_8S2.pth"
+    _make_weights(pth)
+    return {"tree": tree, "pth": pth}
+
+
+def _serve(http_server, monkeypatch, artifacts):  # noqa: F811
+    http_server.files["/esrgan_8S2.pth"] = artifacts["pth"].read_bytes()
+    http_server.files["/small_val.tar"] = _tar_bytes(
+        str(artifacts["tree"]), "small_val_set")
+    monkeypatch.setitem(fetch.REGISTRY, "esrgan_8S2", {
+        "urls": [_url(http_server, "/esrgan_8S2.pth")], "kind": "file",
+        "about": "t"})
+    monkeypatch.setitem(fetch.REGISTRY, "small_val_set", {
+        "urls": [_url(http_server, "/small_val.tar")], "kind": "tar",
+        "about": "t"})
+
+
+def test_acceptance_pass_end_to_end(http_server, tmp_path, monkeypatch,  # noqa: F811
+                                    artifacts):
+    _serve(http_server, monkeypatch, artifacts)
+    out = tmp_path / "PARITY_RESULTS.json"
+    rc = acceptance.main([
+        "--workdir", str(tmp_path / "ws"), "--out", str(out),
+        "--limit", "3", "--batch-size", "2"])
+    assert rc == 0
+    verdict = json.loads(out.read_text())
+    assert verdict["pass"] is True
+    stages = verdict["stages"]
+    assert set(stages) == {"fetch", "preflight", "forward", "evaluate"}
+    assert all(s["ok"] for s in stages.values())
+    arch = stages["preflight"]["arch"]
+    assert arch == {"param_key": "params_ema", "num_block": 1, "num_in_ch": 6,
+                    "num_feat": 8, "num_grow_ch": 4,
+                    "n_params": arch["n_params"]}
+    assert stages["forward"]["max_abs_diff"] <= 1e-4
+    ev = stages["evaluate"]
+    assert ev["images_evaluated"] == 3
+    assert ev["delta_psnr_db"] <= 0.05
+    # both absolute PSNRs recorded for future comparison with published numbers
+    assert 0 < ev["metrics"]["jax"]["psnr"] < 60
+    assert 0 < ev["metrics"]["torch_oracle"]["psnr"] < 60
+    # the artifacts landed where a rerun will find them
+    assert (tmp_path / "ws" / "weights" / "esrgan_8S2.pth").exists()
+    assert (tmp_path / "ws" / "data" / "small_val_set" / "naip").is_dir()
+
+
+def test_acceptance_local_paths_no_network(tmp_path, artifacts):
+    """Pre-mounted weights + data run with zero registry/network involvement."""
+    out = tmp_path / "v.json"
+    rc = acceptance.main([
+        "--weights", str(artifacts["pth"]), "--data", str(artifacts["tree"]),
+        "--workdir", str(tmp_path / "ws"), "--out", str(out),
+        "--limit", "2", "--batch-size", "2"])
+    assert rc == 0
+    verdict = json.loads(out.read_text())
+    assert verdict["pass"] is True
+    assert verdict["stages"]["fetch"]["weights_path"] == str(artifacts["pth"])
+
+
+def test_acceptance_parity_failure_exits_2(tmp_path, artifacts):
+    """An impossible forward tolerance must produce FAIL + rc 2 — proving the
+    gate actually gates (it is not a rubber stamp)."""
+    out = tmp_path / "v.json"
+    rc = acceptance.main([
+        "--weights", str(artifacts["pth"]), "--data", str(artifacts["tree"]),
+        "--workdir", str(tmp_path / "ws"), "--out", str(out),
+        "--fwd-tol", "0", "--limit", "2"])
+    assert rc == 2
+    verdict = json.loads(out.read_text())
+    assert verdict["pass"] is False
+    assert verdict["stages"]["forward"]["ok"] is False
+    assert "evaluate" not in verdict["stages"]  # stopped at first failure
+
+
+def test_acceptance_blocked_env_exits_3(tmp_path, monkeypatch):
+    """Unreachable artifacts -> BLOCKED (rc 3), distinct from parity failure."""
+    monkeypatch.setitem(fetch.REGISTRY, "esrgan_8S2", {
+        "urls": ["http://127.0.0.1:9/unreachable.pth"], "kind": "file",
+        "about": "t"})
+    out = tmp_path / "v.json"
+    rc = acceptance.main([
+        "--workdir", str(tmp_path / "ws"), "--out", str(out)])
+    assert rc == 3
+    verdict = json.loads(out.read_text())
+    assert verdict["pass"] is False and verdict.get("blocked") is True
+    assert verdict["stages"]["fetch"]["blocked"] is True
+
+
+def test_acceptance_rejects_non_esrgan_checkpoint(tmp_path, artifacts):
+    import torch
+
+    bad = tmp_path / "not_esrgan.pth"
+    torch.save({"params_ema": {"something.weight": torch.zeros(1)}}, str(bad))
+    out = tmp_path / "v.json"
+    rc = acceptance.main([
+        "--weights", str(bad), "--data", str(artifacts["tree"]),
+        "--workdir", str(tmp_path / "ws"), "--out", str(out)])
+    assert rc == 2
+    verdict = json.loads(out.read_text())
+    assert "not an RRDBNet" in verdict["stages"]["preflight"]["error"]

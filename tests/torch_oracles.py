@@ -23,37 +23,10 @@ def _lrelu(x):
     return F.leaky_relu(x, 0.2)
 
 
-def rrdbnet_forward(sd, x, num_block, scale=4):
-    def rdb(pfx, h):
-        x1 = _lrelu(_c(sd, pfx + ".conv1", h))
-        x2 = _lrelu(_c(sd, pfx + ".conv2", torch.cat([h, x1], 1)))
-        x3 = _lrelu(_c(sd, pfx + ".conv3", torch.cat([h, x1, x2], 1)))
-        x4 = _lrelu(_c(sd, pfx + ".conv4", torch.cat([h, x1, x2, x3], 1)))
-        x5 = _c(sd, pfx + ".conv5", torch.cat([h, x1, x2, x3, x4], 1))
-        return x5 * 0.2 + h
-
-    def rrdb(pfx, h):
-        out = rdb(pfx + ".rdb1", h)
-        out = rdb(pfx + ".rdb2", out)
-        out = rdb(pfx + ".rdb3", out)
-        return out * 0.2 + h
-
-    if scale == 2:
-        x = F.pixel_unshuffle(x, 2)
-    elif scale == 1:
-        x = F.pixel_unshuffle(x, 4)
-    feat = _c(sd, "conv_first", x)
-    body = feat
-    for i in range(num_block):
-        body = rrdb(f"body.{i}", body)
-    feat = feat + _c(sd, "conv_body", body)
-    feat = _lrelu(_c(sd, "conv_up1", F.interpolate(feat, scale_factor=2, mode="nearest")))
-    feat = _lrelu(_c(sd, "conv_up2", F.interpolate(feat, scale_factor=2, mode="nearest")))
-    if scale in (8, 16):
-        feat = _lrelu(_c(sd, "conv_up3", F.interpolate(feat, scale_factor=2, mode="nearest")))
-        if scale == 16:
-            feat = _lrelu(_c(sd, "conv_up4", F.interpolate(feat, scale_factor=2, mode="nearest")))
-    return _c(sd, "conv_last", _lrelu(_c(sd, "conv_hr", feat)))
+# The RRDBNet oracle moved into the package (round 4): it is now also the
+# runtime comparator for `python -m satlas_sr_tpu.acceptance`. One
+# definition, re-exported here for the existing test imports.
+from satlas_sr_tpu.utils.torch_oracles import rrdbnet_forward  # noqa: F401
 
 
 def _sn_weight(sd, name):
