@@ -110,6 +110,29 @@ def ema_update(ema: Any, params: Any, decay: float) -> Any:
     return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
 
 
+def accum_grads(step_fn, params: Any, xs: Any, k: int, carry: Any = None):
+    """Mean grads of step_fn over the leading micro-batch axis of xs.
+
+    The shared scan skeleton of every gradient-accumulation trainer
+    (esrgan G/D phases, osm_esrgan, l2): zero-initialised accumulator,
+    one lax.scan over the k micro-batches, divide by k. step_fn is
+    called as step_fn(params, x_j, carry) -> (grads, new_carry, ys);
+    returns (mean_grads, final_carry, stacked_ys). `carry` threads
+    sequential state through the micro-steps (the GAN trainers' spectral
+    u/v power iterations run through it exactly as k consecutive plain
+    steps would); pass None when there is none.
+    """
+
+    def body(c, x):
+        acc, cr = c
+        grads, cr2, ys = step_fn(params, x, cr)
+        return (jax.tree.map(jnp.add, acc, grads), cr2), ys
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    (acc, final), ys = jax.lax.scan(body, (zero, carry), xs)
+    return jax.tree.map(lambda a: a / k, acc), final, ys
+
+
 def to_uint8(img_float: jax.Array) -> jax.Array:
     """[0,1] float NHWC -> uint8, on device (tensor2img analog).
 
@@ -189,6 +212,25 @@ class BaseModel:
 
     def shard(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         return shard_batch(self.mesh, batch)
+
+    def _shard_train_array(self, x):
+        """Host rows -> device array: [b] batch-sharded, or — with gradient
+        accumulation — [k, b] micro-batch stacks sharded on the batch axis.
+        Trainers that support train.accum_steps set self.accum_steps > 1."""
+        if getattr(self, "accum_steps", 1) > 1:
+            from ..parallel.mesh import shard_microbatches
+
+            x = np.asarray(x)
+            k = self.accum_steps
+            if x.shape[0] % k:
+                raise ValueError(
+                    f"train batch of {x.shape[0]} rows is not divisible by "
+                    f"accum_steps={k}"
+                )
+            return shard_microbatches(
+                self.mesh, x.reshape((k, x.shape[0] // k) + x.shape[1:])
+            )
+        return self.shard(x)
 
     # -- checkpointing (SURVEY.md §5.4 cadence/semantics) --------------------
 

@@ -33,7 +33,8 @@ from ..losses.basic import gan_loss as build_gan
 from ..ops.resize import upsample_nearest
 from ..ops.usm import usm_sharp
 from ..registry import MODEL_REGISTRY
-from .base import BaseModel, build_optimizer, ema_update, to_uint8
+from .base import (BaseModel, accum_grads, build_optimizer, ema_update,
+                   to_uint8)
 from ..utils.jax_cache import ssr_jit
 
 
@@ -367,8 +368,7 @@ class ESRGANModel(BaseModel):
             )
 
             def g_update(_):
-                def body(carry, xj):
-                    acc, spec = carry
+                def micro(params, xj, spec):
                     lr, old_hr, l1_gt, percep_gt, _, lr_resized = prep(xj)
 
                     def loss_fn(p):
@@ -377,13 +377,11 @@ class ESRGANModel(BaseModel):
                             d_params, spec,
                         )
 
-                    grads, (logs, out, new_spec) = jax.grad(loss_fn, has_aux=True)(g_params)
-                    acc = jax.tree.map(jnp.add, acc, grads)
-                    return (acc, new_spec), (out, logs)
+                    grads, (logs, out, new_spec) = jax.grad(loss_fn, has_aux=True)(params)
+                    return grads, new_spec, (out, logs)
 
-                zero = jax.tree.map(jnp.zeros_like, g_params)
-                (acc, spec1), (outs, logs) = jax.lax.scan(body, (zero, spectral), xs)
-                grads = jax.tree.map(lambda a: a / k, acc)
+                grads, spec1, (outs, logs) = accum_grads(
+                    micro, g_params, xs, k, carry=spectral)
                 new_params, new_opt = self._apply_opt(tx_g, grads, g_opt, g_params)
                 mean_logs = {kk: jnp.mean(v) for kk, v in logs.items()}
                 return new_params, new_opt, outs, spec1, mean_logs
@@ -406,8 +404,7 @@ class ESRGANModel(BaseModel):
                     do_g, g_update, g_skip, operand=None
                 )
 
-            def d_body(carry, inp):
-                acc, spec = carry
+            def d_micro(params, inp, spec):
                 xj, fake_j = inp
                 _, old_hr, _, _, gan_gt, lr_resized = prep(xj)
                 real_in = self._disc_input(gan_gt, lr_resized, old_hr)
@@ -418,15 +415,11 @@ class ESRGANModel(BaseModel):
                 def d_loss_fn(p):
                     return self._d_loss_and_aux(p, real_in, fake_in, spec)
 
-                grads, (logs, new_spec) = jax.grad(d_loss_fn, has_aux=True)(d_params)
-                acc = jax.tree.map(jnp.add, acc, grads)
-                return (acc, new_spec), logs
+                grads, (logs, new_spec) = jax.grad(d_loss_fn, has_aux=True)(params)
+                return grads, new_spec, logs
 
-            zero_d = jax.tree.map(jnp.zeros_like, d_params)
-            (acc_d, new_spectral), d_logs = jax.lax.scan(
-                d_body, (zero_d, spectral1), (xs, outputs)
-            )
-            d_grads = jax.tree.map(lambda a: a / k, acc_d)
+            d_grads, new_spectral, d_logs = accum_grads(
+                d_micro, d_params, (xs, outputs), k, carry=spectral1)
             new_d_params, new_d_opt = self._apply_opt(
                 tx_d, d_grads, state["d"]["opt"], d_params
             )
@@ -473,24 +466,6 @@ class ESRGANModel(BaseModel):
         return step
 
     # ----------------------------------------------------------------- driver
-
-    def _shard_train_array(self, x):
-        """Host rows -> device array: [b] batch-sharded, or — with gradient
-        accumulation — [k, b] micro-batch stacks sharded on the batch axis."""
-        if self.accum_steps > 1:
-            from ..parallel.mesh import shard_microbatches
-
-            x = np.asarray(x)
-            k = self.accum_steps
-            if x.shape[0] % k:
-                raise ValueError(
-                    f"train batch of {x.shape[0]} rows is not divisible by "
-                    f"accum_steps={k}"
-                )
-            return shard_microbatches(
-                self.mesh, x.reshape((k, x.shape[0] // k) + x.shape[1:])
-            )
-        return self.shard(x)
 
     def train_iter(self, batch: Dict[str, Any], current_iter: int) -> Dict[str, float]:
         lr = self._shard_train_array(batch["lr"])

@@ -28,14 +28,14 @@ from ..utils.jax_cache import ssr_jit
 class L2Model(BaseModel):
     def __init__(self, opt: Dict[str, Any]):
         super().__init__(opt)
-        if bool(opt.get("is_train")) and int(
+        # Gradient accumulation (round 4 — closes the trainer-surface
+        # asymmetry vs esrgan/osm): one jitted step scans k micro-batches
+        # into a single optimizer update, reproducing the reference's
+        # 8-GPU global-batch SRCNN/HighResNet recipes on one chip
+        # (reference README.md:159). train.py scales the loader batch by k.
+        self.accum_steps = int(
             (opt.get("train") or {}).get("accum_steps", 1) or 1
-        ) > 1:
-            # train.py scales the loader batch by accum_steps; accepting the
-            # key here would silently train at a larger batch instead of
-            # accumulating.
-            raise ValueError("train.accum_steps is only supported by the "
-                             "ESRGAN trainer (models/esrgan.py)")
+        ) if opt.get("is_train") else 1
         net_opt = dict(opt["network_g"])
         # YAML blocks carry `revisits`; constructor parity handled by build_arch.
         self.net_g = build_arch(net_opt)
@@ -72,52 +72,97 @@ class L2Model(BaseModel):
             self.state["ema"] = jax.tree.map(jnp.array, params)
         self.torch_export = {"g": opt["network_g"]["type"]}
         self.replicate_state()
-        self._train_step = self._build_train_step() if opt.get("is_train") else None
+        if opt.get("is_train"):
+            self._train_step = (self._build_accum_train_step()
+                                if self.accum_steps > 1
+                                else self._build_train_step())
+        else:
+            self._train_step = None
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------ steps
 
-    def _build_train_step(self):
-        model = self.net_g
-        tx = self.tx
-        ema_decay = self.ema_decay
+    def _worldstrat_grads(self, params, lr_u8, hr_u8, dropout_rng):
+        """Grads + logs of the WorldStrat loss on one (micro-)batch.
 
+        0.3*MSE + 0.4*MAE + 0.3*SSIM(win 5) over per-image means
+        (ssr_l2_model.py:36-40); psnr_loss = 10*log10(MSE) (line 43).
+        Shared by the plain and accumulation step builders.
+        """
+        model = self.net_g
+        lr = lr_u8.astype(jnp.float32) / 255.0
+        hr = hr_u8.astype(jnp.float32) / 255.0
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, lr, train=True, rngs={"dropout": dropout_rng}
+            )[:, 0]
+            mse_i = jnp.mean(jnp.square(out - hr), axis=(1, 2, 3))
+            mae_i = jnp.mean(jnp.abs(out - hr), axis=(1, 2, 3))
+            ssim_i = jnp.mean(ssim_loss_map(out, hr, window_size=5), axis=(1, 2, 3))
+            loss = jnp.mean(0.3 * mse_i + 0.4 * mae_i + 0.3 * ssim_i)
+            logs = {
+                "mse": jnp.mean(mse_i),
+                "mae": jnp.mean(mae_i),
+                "ssim": jnp.mean(ssim_i),
+                "tot_loss": loss,
+            }
+            return loss, logs
+
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    def _finish_step(self, state, grads, logs, rng):
+        """Optimizer update + EMA + log finalisation, shared by both steps."""
+        updates, new_opt = self.tx.update(grads, state["opt"], state["params"])
+        new_params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
+        new_state = {
+            "step": state["step"] + 1,
+            "params": new_params,
+            "opt": new_opt,
+            "rng": rng,
+        }
+        if "ema" in state:
+            from .base import ema_update
+
+            new_state["ema"] = ema_update(state["ema"], new_params, self.ema_decay)
+        # psnr_loss derives from the (global-batch) mean MSE — NOT a mean of
+        # per-micro-batch psnr values, which would differ under accumulation
+        logs = dict(logs)
+        logs["psnr_loss"] = 10.0 * jnp.log10(logs["mse"])
+        return new_state, logs
+
+    def _build_train_step(self):
         def step(state, lr_u8, hr_u8):
             rng, dropout_rng = jax.random.split(state["rng"])
-            lr = lr_u8.astype(jnp.float32) / 255.0
-            hr = hr_u8.astype(jnp.float32) / 255.0
+            grads, logs = self._worldstrat_grads(
+                state["params"], lr_u8, hr_u8, dropout_rng)
+            return self._finish_step(state, grads, logs, rng)
 
-            def loss_fn(params):
-                out = model.apply(
-                    {"params": params}, lr, train=True, rngs={"dropout": dropout_rng}
-                )[:, 0]
-                mse_i = jnp.mean(jnp.square(out - hr), axis=(1, 2, 3))
-                mae_i = jnp.mean(jnp.abs(out - hr), axis=(1, 2, 3))
-                ssim_i = jnp.mean(ssim_loss_map(out, hr, window_size=5), axis=(1, 2, 3))
-                loss = jnp.mean(0.3 * mse_i + 0.4 * mae_i + 0.3 * ssim_i)
-                logs = {
-                    "psnr_loss": 10.0 * jnp.log10(jnp.mean(mse_i)),
-                    "mse": jnp.mean(mse_i),
-                    "mae": jnp.mean(mae_i),
-                    "ssim": jnp.mean(ssim_i),
-                    "tot_loss": loss,
-                }
-                return loss, logs
+        return ssr_jit(step, donate_argnums=(0,))
 
-            grads, logs = jax.grad(loss_fn, has_aux=True)(state["params"])
-            updates, new_opt = tx.update(grads, state["opt"], state["params"])
-            new_params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
-            new_state = {
-                "step": state["step"] + 1,
-                "params": new_params,
-                "opt": new_opt,
-                "rng": rng,
-            }
-            if "ema" in state:
-                from .base import ema_update
+    def _build_accum_train_step(self):
+        """Gradient-accumulation variant: [k, b, ...] micro-batch stacks,
+        one lax.scan accumulating grads into a single optimizer update
+        (shared skeleton: models/base.py accum_grads). Each micro-batch
+        draws its own dropout key — exactly as k consecutive plain steps
+        would; the grads are averaged, so the update equals a native k*b
+        batch step whose dropout happened to tile that way."""
+        k = self.accum_steps
 
-                new_state["ema"] = ema_update(state["ema"], new_params, ema_decay)
-            return new_state, logs
+        def step(state, lr_u8, hr_u8):
+            from .base import accum_grads
+
+            keys = jax.random.split(state["rng"], k + 1)
+            xs = {"lr": lr_u8, "hr": hr_u8, "rng": keys[1:]}
+
+            def micro(params, xj, _):
+                grads, logs = self._worldstrat_grads(
+                    params, xj["lr"], xj["hr"], xj["rng"])
+                return grads, None, logs
+
+            grads, _, logs = accum_grads(micro, state["params"], xs, k)
+            mean_logs = {kk: jnp.mean(v) for kk, v in logs.items()}
+            return self._finish_step(state, grads, mean_logs, keys[0])
 
         return ssr_jit(step, donate_argnums=(0,))
 
@@ -144,8 +189,8 @@ class L2Model(BaseModel):
         return lr_np
 
     def train_iter(self, batch: Dict[str, Any], current_iter: int) -> Dict[str, float]:
-        lr = self.shard(self._prep_lr(batch["lr"]))
-        hr = self.shard(batch["hr"])
+        lr = self._shard_train_array(self._prep_lr(batch["lr"]))
+        hr = self._shard_train_array(np.asarray(batch["hr"]))
         self.state, logs = self._train_step(self.state, lr, hr)
         # Keep logs as device scalars: fetching every iter would sync the
         # pipeline (~40% step-time overhead measured); MessageLogger floats

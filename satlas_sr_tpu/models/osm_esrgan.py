@@ -24,7 +24,7 @@ import numpy as np
 
 from ..ops.crop import crop_resize_boxes
 from ..registry import MODEL_REGISTRY
-from .base import ema_update
+from .base import accum_grads, ema_update
 from ..utils.jax_cache import ssr_jit
 from .esrgan import ESRGANModel
 
@@ -189,8 +189,7 @@ class OSMObjESRGANModel(ESRGANModel):
             )
 
             def g_update(_):
-                def body(carry, xj):
-                    acc, spec = carry
+                def micro(params, xj, spec):
                     lr, old_hr, l1_gt, percep_gt, _, lr_resized = prep(xj)
                     bxs = xj["boxes"]
 
@@ -214,14 +213,11 @@ class OSMObjESRGANModel(ESRGANModel):
 
                     grads, (logs, out, gen_objs, new_spec) = jax.grad(
                         loss_fn, has_aux=True
-                    )(g_params)
-                    acc = jax.tree.map(jnp.add, acc, grads)
-                    return (acc, new_spec), (out, gen_objs, logs)
+                    )(params)
+                    return grads, new_spec, (out, gen_objs, logs)
 
-                zero = jax.tree.map(jnp.zeros_like, g_params)
-                (acc, spec1), (outs, gen_objs_k, logs) = jax.lax.scan(
-                    body, (zero, spectral), xs)
-                grads = jax.tree.map(lambda a: a / k, acc)
+                grads, spec1, (outs, gen_objs_k, logs) = accum_grads(
+                    micro, g_params, xs, k, carry=spectral)
                 new_params, new_opt = self._apply_opt(tx_g, grads, g_opt, g_params)
                 mean_logs = {kk: jnp.mean(v) for kk, v in logs.items()}
                 return new_params, new_opt, outs, gen_objs_k, spec1, mean_logs
@@ -247,8 +243,7 @@ class OSMObjESRGANModel(ESRGANModel):
                 new_g_params, new_g_opt, outputs, gen_objs_all, spectral1, g_logs = \
                     jax.lax.cond(do_g, g_update, g_skip, operand=None)
 
-            def d_body(carry, inp):
-                acc, spec = carry
+            def d_micro(params, inp, spec):
                 xj, fake_j, gen_objs_j = inp
                 _, old_hr, _, _, gan_gt, lr_resized = prep(xj)
                 gt_objs = crop_resize_boxes(
@@ -285,14 +280,12 @@ class OSMObjESRGANModel(ESRGANModel):
                     return (l_d_real + l_d_real_objs + l_d_fake + l_d_fake_objs,
                             (logs, mut2["spectral"]))
 
-                grads, (logs, new_spec) = jax.grad(d_loss_fn, has_aux=True)(d_params)
-                acc = jax.tree.map(jnp.add, acc, grads)
-                return (acc, new_spec), logs
+                grads, (logs, new_spec) = jax.grad(d_loss_fn, has_aux=True)(params)
+                return grads, new_spec, logs
 
-            zero_d = jax.tree.map(jnp.zeros_like, d_params)
-            (acc_d, new_spectral), d_logs = jax.lax.scan(
-                d_body, (zero_d, spectral1), (xs, outputs, gen_objs_all))
-            d_grads = jax.tree.map(lambda a: a / k, acc_d)
+            d_grads, new_spectral, d_logs = accum_grads(
+                d_micro, d_params, (xs, outputs, gen_objs_all), k,
+                carry=spectral1)
             new_d_params, new_d_opt = self._apply_opt(
                 tx_d, d_grads, state["d"]["opt"], d_params)
 
