@@ -18,8 +18,17 @@ Endpoints:
                  surface ssr/infer.py:42-54). Response: image/png of the
                  4x-SR RGB output; `Accept: application/octet-stream`
                  returns raw uint8 bytes with an `X-Shape` header instead.
-  GET  /healthz  liveness + model/config JSON
+  GET  /healthz  liveness + model/config JSON (+ reload generation)
   GET  /stats    request/batch counters, queue depth, latency quantiles
+  POST /admin/reload  zero-downtime weight rollover (round 4): body
+                 {"artifact": "new.ssrx"} loads + warms the new engine,
+                 atomically swaps it under the live traffic, then drains
+                 the old batcher — in-flight requests complete on the old
+                 weights, every later request runs the new ones; no
+                 restart, no dropped requests. Requires --admin-token
+                 (the endpoint is 404 without one). SIGHUP re-loads the
+                 current --artifact path in place (rollout = atomically
+                 replace the .ssrx file, then `kill -HUP`).
 
 Run: python -m satlas_sr_tpu.serve -opt options/infer_example.yml --port 8000
 """
@@ -226,6 +235,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "n_lr_images": ctx["n_frames"],
                 "batch_size": ctx["batcher"].engine.batch_size,
                 "platform": ctx["platform"],
+                "artifact": ctx.get("artifact"),
+                "reload_generation": ctx.get("reloads", 0),
             })
         elif self.path == "/stats":
             batcher = ctx["batcher"]
@@ -243,6 +254,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": "not found"})
 
     def do_POST(self):  # noqa: N802 - BaseHTTPRequestHandler API
+        if self.path == "/admin/reload":
+            self._handle_reload()
+            return
         if self.path != "/v1/sr":
             # Body left unread: drop the connection rather than letting the
             # next keep-alive request parse it as a request line.
@@ -254,6 +268,42 @@ class _Handler(BaseHTTPRequestHandler):
         code, body, ctype, headers = self._handle_sr(ctx)
         ctx["stats"].record(time.perf_counter() - t0, error=code >= 400)
         self._send(code, body, ctype, headers)
+
+    def _handle_reload(self) -> None:
+        """POST /admin/reload {"artifact": path} — zero-downtime rollover.
+
+        Token-gated: the endpoint pretends not to exist without a configured
+        --admin-token (defense in depth next to the usual deploy-behind-
+        localhost posture), and constant-time-compares X-Admin-Token.
+        """
+        import hmac
+
+        ctx = self.server.ctx
+        token = ctx.get("admin_token")
+        if not token:
+            self.close_connection = True
+            self._send_json(404, {"error": "not found"})
+            return
+        got = self.headers.get("X-Admin-Token") or ""
+        if not hmac.compare_digest(got.encode(), str(token).encode()):
+            self.close_connection = True
+            self._send_json(403, {"error": "bad admin token"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            artifact = body["artifact"]
+        except (ValueError, KeyError):
+            self.close_connection = True
+            self._send_json(400, {"error": 'expected {"artifact": "path"}'})
+            return
+        try:
+            result = reload_engine(ctx, artifact)
+        except Exception as exc:  # noqa: BLE001 — old engine still serving
+            self._send_json(409, {"error": f"reload failed, previous engine "
+                                           f"still serving: {exc}"})
+            return
+        self._send_json(200, result)
 
     def _handle_sr(self, ctx) -> Tuple[int, bytes, str, Optional[dict]]:
         from .utils.imgio import encode_png_bytes, read_png_bytes
@@ -294,7 +344,15 @@ class _Handler(BaseHTTPRequestHandler):
         stacked, _ = format_s2naip_data(
             arr, n, rng=np.random.RandomState(ctx["seed"]))
         try:
-            fut = ctx["batcher"].submit(stacked)
+            try:
+                fut = ctx["batcher"].submit(stacked)
+            except RuntimeError as first:
+                # hot-reload race: this thread read the old batcher right
+                # before a swap closed it — re-read once; the new engine is
+                # already warm and serving
+                if isinstance(first, QueueFullError):
+                    raise
+                fut = ctx["batcher"].submit(stacked)
         except QueueFullError:
             return err(503, "server overloaded")
         except RuntimeError as exc:
@@ -311,21 +369,11 @@ class _Handler(BaseHTTPRequestHandler):
         return 200, encode_png_bytes(out), "image/png", None
 
 
-def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
-                 batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
-                 max_queue: int = 512, depth: int = 2, timeout_s: float = 60.0,
-                 warmup: bool = True, verbose: bool = False,
-                 artifact: Optional[str] = None):
-    """Construct (server, batcher): model + engine + micro-batcher + HTTP.
-
-    `artifact` serves a `.ssrx` AOT export (satlas_sr_tpu/export.py) instead
-    of building the model: the host runs the exact lowered program the
-    artifact pins, with no model code or torch-checkpoint import on the
-    serving path. The config still supplies n_lr_images / manual_seed; the
-    artifact's own fixed batch wins over the config's batch_size.
-    """
-    import jax
-
+def _build_engine(opt: dict, batch_size: Optional[int],
+                  artifact: Optional[str], warmup: bool):
+    """Engine + model_type from a config (or a .ssrx artifact). Shared by
+    startup and hot reload; raises (leaving live traffic untouched on the
+    reload path) when the artifact doesn't fit the serving contract."""
     n_frames = int(opt["n_lr_images"])
     if artifact:
         from .export import ExportedEngine
@@ -362,9 +410,59 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
         model_type = opt["network_g"]["type"]
     input_shape = (32, 32, n_frames * 3)
     if warmup:
-        # Compile before accepting traffic so the first request doesn't pay
-        # the (minutes-long on a cold cache) jit compile.
+        # Compile before accepting traffic (or swapping an engine under
+        # traffic) so no request ever pays the jit compile.
         engine.run(np.zeros((engine.batch_size,) + input_shape, np.uint8))
+    return engine, model_type, input_shape
+
+
+def reload_engine(ctx: dict, artifact: str) -> dict:
+    """Zero-downtime engine swap: build + warm the new artifact's engine,
+    atomically publish a NEW MicroBatcher, then drain and close the old one.
+
+    In-flight and already-queued requests complete on the OLD engine (its
+    fetcher resolves their futures before join); every request admitted
+    after the swap runs the new weights. Failures anywhere before the swap
+    leave the serving engine untouched. Serialized by ctx['reload_lock'].
+    """
+    with ctx["reload_lock"]:
+        old = ctx["batcher"]
+        engine, model_type, input_shape = _build_engine(
+            ctx["opt"], ctx["batch_size"], artifact, warmup=True)
+        new = MicroBatcher(engine, input_shape,
+                           max_wait_ms=old.max_wait * 1000.0,
+                           max_queue=old.max_queue,
+                           depth=old._inflight.maxsize)
+        ctx["batcher"] = new  # atomic publish: handlers read ctx once/request
+        ctx["model_type"] = model_type
+        ctx["artifact"] = artifact
+        ctx["reloads"] = ctx.get("reloads", 0) + 1
+        old.close()  # drains the old queue; old futures resolve normally
+        return {"status": "reloaded", "artifact": artifact,
+                "model": model_type, "generation": ctx["reloads"],
+                "batch_size": engine.batch_size}
+
+
+def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
+                 batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
+                 max_queue: int = 512, depth: int = 2, timeout_s: float = 60.0,
+                 warmup: bool = True, verbose: bool = False,
+                 artifact: Optional[str] = None,
+                 admin_token: Optional[str] = None):
+    """Construct (server, batcher): model + engine + micro-batcher + HTTP.
+
+    `artifact` serves a `.ssrx` AOT export (satlas_sr_tpu/export.py) instead
+    of building the model: the host runs the exact lowered program the
+    artifact pins, with no model code or torch-checkpoint import on the
+    serving path. The config still supplies n_lr_images / manual_seed; the
+    artifact's own fixed batch wins over the config's batch_size.
+    `admin_token` enables POST /admin/reload (zero-downtime rollover).
+    """
+    import jax
+
+    n_frames = int(opt["n_lr_images"])
+    engine, model_type, input_shape = _build_engine(
+        opt, batch_size, artifact, warmup)
     batcher = MicroBatcher(engine, input_shape, max_wait_ms=max_wait_ms,
                            max_queue=max_queue, depth=depth)
 
@@ -391,6 +489,14 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
         "model_type": model_type,
         "platform": jax.devices()[0].platform,
         "verbose": verbose,
+        # hot-reload machinery (reload_engine): the original opt/batch_size
+        # rebuild future engines; admin_token gates the HTTP endpoint
+        "opt": opt,
+        "batch_size": batch_size,
+        "artifact": artifact,
+        "admin_token": admin_token,
+        "reload_lock": threading.Lock(),
+        "reloads": 0,
     }
     return server, batcher
 
@@ -410,6 +516,9 @@ def main(argv=None):
     parser.add_argument("--artifact", type=str, default=None,
                         help="Serve a .ssrx AOT export (satlas_sr_tpu.export) "
                              "instead of building the model from the config.")
+    parser.add_argument("--admin-token", type=str, default=None,
+                        help="Enable POST /admin/reload (zero-downtime .ssrx "
+                             "rollover), authenticated by X-Admin-Token.")
     args = parser.parse_args(argv)
 
     from .utils.jax_cache import enable_compilation_cache
@@ -424,7 +533,8 @@ def main(argv=None):
         opt, host=args.host, port=args.port, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, max_queue=args.queue_limit,
         timeout_s=args.timeout_s, warmup=not args.no_warmup,
-        verbose=args.verbose, artifact=args.artifact)
+        verbose=args.verbose, artifact=args.artifact,
+        admin_token=args.admin_token)
 
     import signal
 
@@ -434,6 +544,22 @@ def main(argv=None):
 
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
+
+    if args.artifact:
+        # rollout without HTTP: atomically replace the .ssrx on disk, then
+        # `kill -HUP <pid>` — same zero-downtime swap as /admin/reload
+        def _hup(signum, frame):
+            def _do():
+                try:
+                    result = reload_engine(server.ctx, server.ctx["artifact"])
+                    print(f"SIGHUP reload ok: {result}", flush=True)
+                except Exception as exc:  # noqa: BLE001 — keep serving old
+                    print(f"SIGHUP reload failed (still serving previous "
+                          f"engine): {exc}", flush=True)
+
+            threading.Thread(target=_do, daemon=True).start()
+
+        signal.signal(signal.SIGHUP, _hup)
     print(f"serving {server.ctx['model_type']} on "
           f"http://{server.server_address[0]}:{server.server_address[1]} "
           f"(batch {batcher.engine.batch_size}, wait {args.max_wait_ms} ms)",
@@ -442,7 +568,8 @@ def main(argv=None):
         server.serve_forever()
     finally:
         server.server_close()
-        batcher.close()  # drain queued work before exiting
+        # ctx["batcher"], not the startup local: reloads swap the live one
+        server.ctx["batcher"].close()  # drain queued work before exiting
         print("server stopped; queue drained.", flush=True)
 
 

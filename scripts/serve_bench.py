@@ -10,8 +10,15 @@ one core shared with the server threads); a production host with real
 cores colocated with the TPU pays neither. Run with
 JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu for a device-free smoke.
 
+Round 4 adds an OPEN-LOOP mode (--rps R, optionally repeated): a Poisson-ish
+fixed-rate arrival process independent of response times — the honest
+latency measurement (closed-loop self-throttles: slow responses slow the
+offered load, hiding queueing). Each --rps level reports p50/p95/p99 and
+the error rate, giving a latency-vs-offered-load curve.
+
 Usage: python scripts/serve_bench.py [--requests 512] [--concurrency 64]
        [--batch_size 64] [--raw]
+       python scripts/serve_bench.py --rps 20 --rps 40 --rps 80 --duration 20
 """
 
 import argparse
@@ -27,6 +34,68 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 
+def run_open_loop(args, server, batcher, url, bodies):
+    """Fixed-RPS arrival process; per-level latency quantiles + error rate.
+
+    Arrivals fire on a wall-clock schedule regardless of completions (a
+    bounded thread pool of 4x the expected in-flight count absorbs bursts;
+    if even that is exhausted the send blocks and the level is reported as
+    saturated via its error/latency numbers).
+    """
+    print(f"open-loop: {args.duration:.0f}s per level, levels {args.rps}")
+    rng = np.random.RandomState(1)
+    rows = []
+    for rps in args.rps:
+        n = max(1, int(rps * args.duration))
+        # Poisson arrivals: exponential inter-arrival gaps at rate rps
+        gaps = rng.exponential(1.0 / rps, size=n)
+        sched = np.cumsum(gaps)
+        lat, errs = [], 0
+        lock = threading.Lock()
+
+        def post_timed(i):
+            nonlocal errs
+            req = urllib.request.Request(url, data=bodies[i % len(bodies)],
+                                         method="POST")
+            if args.raw:
+                req.add_header("Accept", "application/octet-stream")
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    ok = resp.status == 200
+                    resp.read()
+            except Exception:  # noqa: BLE001 — count as error
+                ok = False
+            dt = time.perf_counter() - t0
+            with lock:
+                if ok:
+                    lat.append(dt)
+                else:
+                    errs += 1
+
+        workers = max(8, int(4 * rps))  # ~4x expected in-flight at 1 s p99
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            start = time.perf_counter()
+            for i in range(n):
+                delay = sched[i] - (time.perf_counter() - start)
+                if delay > 0:
+                    time.sleep(delay)
+                pool.submit(post_timed, i)
+        lat.sort()
+        q = lambda p: (1000 * lat[min(len(lat) - 1, int(p * len(lat)))]
+                       if lat else float("nan"))
+        realized = len(lat) / args.duration
+        rows.append((rps, realized, q(0.5), q(0.95), q(0.99), errs, n))
+        print(f"  offered {rps:6.1f} rps -> completed {realized:6.1f} rps, "
+              f"p50 {q(0.5):7.1f} ms  p95 {q(0.95):7.1f} ms  "
+              f"p99 {q(0.99):7.1f} ms  errors {errs}/{n}")
+    print("\n| offered rps | completed rps | p50 ms | p95 ms | p99 ms | errors |")
+    print("|---|---|---|---|---|---|")
+    for rps, realized, p50, p95, p99, errs, n in rows:
+        print(f"| {rps:.0f} | {realized:.1f} | {p50:.0f} | {p95:.0f} "
+              f"| {p99:.0f} | {errs}/{n} |")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=512)
@@ -38,6 +107,11 @@ def main():
                     help="RRDB blocks (23 = production esrgan_8S2 shape)")
     ap.add_argument("--raw", action="store_true",
                     help="request raw bytes instead of PNG responses")
+    ap.add_argument("--rps", type=float, action="append", default=None,
+                    help="open-loop mode: offered load in requests/s "
+                         "(repeat for a latency-vs-RPS curve)")
+    ap.add_argument("--duration", type=float, default=20.0,
+                    help="seconds per --rps level")
     args = ap.parse_args()
 
     from satlas_sr_tpu.utils.jax_cache import enable_compilation_cache
@@ -81,6 +155,13 @@ def main():
         with urllib.request.urlopen(req, timeout=300) as resp:
             assert resp.status == 200
             resp.read()
+
+    if args.rps:
+        run_open_loop(args, server, batcher, url, bodies)
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+        return
 
     with ThreadPoolExecutor(max_workers=args.concurrency) as pool:
         list(pool.map(post, range(min(args.concurrency, 16))))  # warm client path

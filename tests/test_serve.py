@@ -264,3 +264,168 @@ def test_microbatcher_close_drains_pending():
     mb.close()  # must drain everything queued before returning
     assert all(f.done() for f in futs)
     assert sum(eng.batches) == 3
+
+
+# ------------------------------------------------------- hot reload (round 4)
+
+
+def _export_tiny_artifact(tmp_path, name, seed):
+    """A tiny .ssrx with weights derived from `seed` (distinct outputs)."""
+    from satlas_sr_tpu.export import export_artifact
+    from satlas_sr_tpu.archs import RRDBNet
+
+    model = RRDBNet(num_in_ch=N_FRAMES * 3, num_out_ch=3, num_feat=8,
+                    num_block=1, num_grow_ch=4)
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, 32, 32, N_FRAMES * 3)))
+    weights = str(tmp_path / f"net_g_{name}.pth")
+    torch_io.save_torch_state_dict(
+        weights, torch_io.rrdbnet_to_torch(variables), param_key="params_ema")
+    opt = {
+        "n_lr_images": N_FRAMES, "scale": 4, "batch_size": 4,
+        "compute_dtype": "float32",
+        "network_g": {"type": "SSR_RRDBNet", "num_in_ch": N_FRAMES * 3,
+                      "num_out_ch": 3, "num_feat": 8, "num_block": 1,
+                      "num_grow_ch": 4},
+        "path": {"pretrain_network_g": weights, "param_key_g": "params_ema",
+                 "strict_load_g": True},
+    }
+    path = str(tmp_path / f"{name}.ssrx")
+    export_artifact(opt, path, platforms=("cpu",))
+    return path, opt
+
+
+def test_admin_reload_swaps_weights_zero_downtime(tmp_path, rng):
+    """POST /admin/reload: outputs switch to the new artifact's weights, a
+    failed reload keeps the old engine serving, auth is enforced, and
+    /healthz reports the rollover generation."""
+    art_a, opt = _export_tiny_artifact(tmp_path, "a", seed=0)
+    art_b, _ = _export_tiny_artifact(tmp_path, "b", seed=1)
+
+    server, batcher = build_server(
+        opt, host="127.0.0.1", port=0, max_wait_ms=5.0, timeout_s=120.0,
+        artifact=art_a, admin_token="sekrit")
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        frames = (rng.rand(N_FRAMES * 32, 32, 3) * 254 + 1).astype(np.uint8)
+        body = encode_png_bytes(frames)
+
+        code, out_a, _ = _post(f"{base}/v1/sr", body)
+        assert code == 200
+
+        # wrong token -> 403; no token header -> 403
+        req = urllib.request.Request(
+            f"{base}/admin/reload",
+            data=json.dumps({"artifact": art_b}).encode(), method="POST")
+        req.add_header("X-Admin-Token", "wrong")
+        code, _, _ = _post_req(req)
+        assert code == 403
+
+        # bad artifact path -> 409, old engine still serving identical bytes
+        req = urllib.request.Request(
+            f"{base}/admin/reload",
+            data=json.dumps({"artifact": str(tmp_path / "nope.ssrx")}).encode(),
+            method="POST")
+        req.add_header("X-Admin-Token", "sekrit")
+        code, msg, _ = _post_req(req)
+        assert code == 409 and b"still serving" in msg
+        code, out_still, _ = _post(f"{base}/v1/sr", body)
+        assert code == 200 and out_still == out_a
+
+        # real rollover
+        req = urllib.request.Request(
+            f"{base}/admin/reload",
+            data=json.dumps({"artifact": art_b}).encode(), method="POST")
+        req.add_header("X-Admin-Token", "sekrit")
+        code, resp, _ = _post_req(req)
+        assert code == 200
+        info = json.loads(resp)
+        assert info["generation"] == 1 and info["artifact"] == art_b
+
+        code, out_b, _ = _post(f"{base}/v1/sr", body)
+        assert code == 200
+        assert out_b != out_a  # different weights -> different imagery
+
+        # the new output equals the direct engine path on artifact B
+        from satlas_sr_tpu.export import ExportedEngine
+        eng_b = ExportedEngine(art_b, batch_size=4)
+        stacked, _ = format_s2naip_data(
+            frames, N_FRAMES, rng=np.random.RandomState(opt["manual_seed"]
+                                                        if "manual_seed" in opt
+                                                        else 0))
+        direct = eng_b.run(stacked[None])[0]
+        np.testing.assert_array_equal(read_png_bytes(out_b), direct)
+
+        code, health, _ = _post(f"{base}/healthz", None, method="GET")
+        h = json.loads(health)
+        assert h["reload_generation"] == 1 and h["artifact"] == art_b
+    finally:
+        server.shutdown()
+        server.server_close()
+        server.ctx["batcher"].close()
+        thread.join(timeout=10)
+
+
+def _post_req(req):
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_admin_reload_404_without_token(running_server):
+    base, *_ = running_server
+    code, _, _ = _post(f"{base}/admin/reload",
+                       json.dumps({"artifact": "x"}).encode())
+    assert code == 404
+
+
+def test_reload_engine_drains_old_inflight(monkeypatch, tmp_path):
+    """Unit-level drain semantics: requests queued on the OLD engine resolve
+    with the OLD engine's results after the swap; post-swap submissions run
+    the NEW engine."""
+    from satlas_sr_tpu import serve as serve_mod
+
+    old_eng = FakeEngine(batch_size=4)          # y = x + 1
+    new_eng = FakeEngine(batch_size=4)
+
+    class Plus2(FakeEngine):
+        def fetch(self, handle):
+            return handle + 2
+
+    new_eng = Plus2(batch_size=4)
+    shape = (32, 32, 6)
+    old_mb = MicroBatcher(old_eng, shape, max_wait_ms=5.0, depth=1)
+    ctx = {"batcher": old_mb, "opt": {}, "batch_size": None,
+           "reload_lock": threading.Lock(), "reloads": 0}
+
+    monkeypatch.setattr(serve_mod, "_build_engine",
+                        lambda opt, bs, art, warmup: (new_eng, "fake", shape))
+
+    x = np.zeros(shape, np.uint8)
+    old_eng.gate.clear()                         # park the old device "busy"
+    pending = [ctx["batcher"].submit(x) for _ in range(3)]
+
+    done = threading.Event()
+    result = {}
+
+    def _reload():
+        result.update(serve_mod.reload_engine(ctx, "new.ssrx"))
+        done.set()
+
+    t = threading.Thread(target=_reload, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    old_eng.gate.set()                           # old engine finishes its work
+    assert done.wait(timeout=30)
+    for f in pending:                            # old futures: old results
+        np.testing.assert_array_equal(f.result(timeout=30),
+                                      np.ones(shape, np.uint8))
+    assert result["generation"] == 1
+    new_fut = ctx["batcher"].submit(x)           # post-swap: new engine
+    np.testing.assert_array_equal(new_fut.result(timeout=30),
+                                  2 * np.ones(shape, np.uint8))
+    ctx["batcher"].close()
