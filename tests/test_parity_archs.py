@@ -207,3 +207,38 @@ def test_osm_disc_torch_export_roundtrip(rng):
 def test_export_torch_state_unknown_arch():
     with pytest.raises(KeyError, match="supported"):
         torch_io.export_torch_state("NotAnArch", {"params": {}})
+
+
+def test_rrdbnet_remat_modes_match_baseline_grads(rng):
+    """Round-4 bwd-traffic experiment machinery: every remat mode (block /
+    rdb / conv_outs save-policy) must compute the same loss and gradients as
+    the no-remat baseline — remat is a memory schedule, not a math change."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from satlas_sr_tpu.archs.rrdbnet import RRDBNet
+
+    x = jnp.asarray(rng.rand(2, 32, 32, 6), jnp.float32)
+    base = RRDBNet(num_in_ch=6, num_out_ch=3, num_feat=8, num_block=2,
+                   num_grow_ch=4)
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    def loss_and_grad(model):
+        def f(params):
+            return jnp.mean(model.apply({"params": params}, x) ** 2)
+        return jax.value_and_grad(f)(variables["params"])
+
+    l0, g0 = loss_and_grad(base)
+    for mode in (True, "block", "rdb", "conv_outs"):
+        model = RRDBNet(num_in_ch=6, num_out_ch=3, num_feat=8, num_block=2,
+                        num_grow_ch=4, remat=mode)
+        l, g = loss_and_grad(model)
+        assert abs(float(l - l0)) < 1e-6, mode
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                       err_msg=str(mode))
+
+    bad = RRDBNet(num_in_ch=6, num_out_ch=3, num_feat=8, num_block=2,
+                  num_grow_ch=4, remat="typo")
+    with pytest.raises(ValueError, match="remat must be"):
+        bad.init(jax.random.PRNGKey(0), x)
