@@ -16,7 +16,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.p
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    remat = "remat" in sys.argv[3:]
+    # remat -> whole-block; remat=rdb / remat=conv_outs pick the round-4
+    # targeted policies (archs/rrdbnet.py _ScannedRRDB docstring)
+    remat = False
+    for a in sys.argv[3:]:
+        if a == "remat":
+            remat = True
+        elif a.startswith("remat="):
+            remat = a.split("=", 1)[1]
     # 'gated': net_d_init_iters far in the future -> every measured step takes
     # the lax.cond SKIP branch (G forward only, no G backward/step). Compares
     # against the default always-update config to quantify the gate's cost.
