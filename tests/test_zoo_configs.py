@@ -22,9 +22,10 @@ ZOO_CONFIGS = sorted(glob.glob(os.path.join(ZOO_DIR, "*.yml")))
 def test_zoo_covers_every_released_generator():
     names = {os.path.basename(p) for p in ZOO_CONFIGS}
     expected = {f"infer_esrgan_{n}S2.yml" for n in (1, 2, 4, 16)} | {
-        "infer_srcnn.yml", "infer_highresnet.yml"}
-    # 8S2 is the root infer_example.yml; band variants are deliberately
-    # excluded (options/zoo/README.md explains why)
+        "infer_srcnn.yml", "infer_highresnet.yml"} | {
+        f"infer_esrgan_{b}.yml" for b in ("10m", "20m", "60m")}
+    # 8S2 is the root infer_example.yml; the band variants (round 4) ship
+    # marked EXPERIMENTAL, gated on scripts/band_order_search.py
     assert names == expected
 
 
@@ -34,10 +35,15 @@ def test_zoo_config_network_builds_and_runs(path):
     opt = yaml.safe_load(open(path))
     n = int(opt["n_lr_images"])
     g = opt["network_g"]
+    bands = opt.get("s2_bands") or ["tci"]
+    cpf = 3 + (len(bands) - 1)  # tci is 3-channel, other bands 1
     if g["type"] == "SSR_RRDBNet":
-        assert int(g["num_in_ch"]) == 3 * n
+        assert int(g["num_in_ch"]) == cpf * n
+        assert "tci" in bands  # loaders force tci first; a tci-less list
+        # cannot run through either pipeline (s2-naip_dataset.py:73-75)
     model = build_network(opt)
-    shape = (1, n, 32, 32, 3) if uses_3d_input(g["type"]) else (1, 32, 32, 3 * n)
+    shape = (1, n, 32, 32, 3) if uses_3d_input(g["type"]) \
+        else (1, 32, 32, cpf * n)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape))
     out = model.apply(variables, jnp.zeros(shape))
     assert out.shape[-3:] == (128, 128, 3)
