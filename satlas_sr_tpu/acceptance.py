@@ -15,13 +15,14 @@ Stages (each recorded in the verdict JSON, first failure stops the run):
   fetch     resolve the checkpoint + val dataset — a local path, an already-
             mounted workdir file, or a registry download (fetch.py; private
             mirrors via --url-weights/--url-data)
-  preflight load the .pth, infer the generator architecture from its shapes
-            (blocks/feats/growth/in_ch — no config guessing), locate the
-            extracted naip/ + sentinel2/ tree
-  forward   float forward equality: our RRDBNet vs the independent torch
-            functional oracle (tests/torch_oracles.py, itself parity-tested
-            against ssr/archs/rrdbnet_arch.py:92-137) on identical inputs,
-            CPU float32 with highest matmul precision
+  preflight load the .pth, infer the generator family (RRDBNet / SRCNN /
+            HighResNet — every released checkpoint, README.md:66-87) and
+            its architecture from tensor shapes — no config guessing;
+            locate the extracted naip/ + sentinel2/ tree
+  forward   float forward equality: our generator vs the independent torch
+            functional oracle (utils/torch_oracles.py, itself parity-tested
+            against the reference archs layer by layer) on identical
+            inputs, CPU float32 with highest matmul precision
   evaluate  dual-path metric run over the val set: every sample is loaded
             once and forwarded through BOTH implementations; PSNR/SSIM
             (crop_border=4, RGB — the reference test: block,
@@ -109,7 +110,13 @@ def _resolve_dataset(spec: str, workdir: str, *, url: Optional[str],
 # ----------------------------------------------------------------- preflight
 
 
-def _load_and_introspect(pth: str, param_key: str) -> Dict[str, Any]:
+def _load_and_introspect(pth: str, param_key: str,
+                         n_frames_hint: int = 8) -> Dict[str, Any]:
+    """(state, info): family + hyperparameters inferred from tensor shapes.
+
+    Covers every released generator family (reference README.md:66-87):
+    RRDBNet (esrgan_*), SRCNN and HighResNet (srcnn/highresnet_s2naip).
+    """
     from .utils import torch_io
 
     try:
@@ -121,48 +128,161 @@ def _load_and_introspect(pth: str, param_key: str) -> Dict[str, Any]:
         alt = "params" if param_key == "params_ema" else "params_ema"
         state = torch_io.load_torch_state_dict(pth, alt)
         param_key = alt
-    if "conv_first.weight" not in state or "body.0.rdb1.conv1.weight" not in state:
-        raise ValueError(
-            f"{pth} is not an RRDBNet/ESRGAN generator checkpoint (keys like "
-            f"{sorted(state)[:3]}...); acceptance currently drives the ESRGAN "
-            f"family — the north star's target (esrgan_8S2)")
-    info = {
-        "param_key": param_key,
-        "num_block": 1 + max(int(k.split(".")[1]) for k in state
-                             if k.startswith("body.")),
-        "num_in_ch": int(state["conv_first.weight"].shape[1]),
-        "num_feat": int(state["conv_first.weight"].shape[0]),
-        "num_grow_ch": int(state["body.0.rdb1.conv1.weight"].shape[0]),
-        "n_params": int(sum(v.size for v in state.values())),
-    }
-    return state, info
+    n_params = int(sum(v.size for v in state.values()))
+
+    if "conv_first.weight" in state and "body.0.rdb1.conv1.weight" in state:
+        info = {
+            "family": "rrdbnet",
+            "param_key": param_key,
+            "num_block": 1 + max(int(k.split(".")[1]) for k in state
+                                 if k.startswith("body.")),
+            "num_in_ch": int(state["conv_first.weight"].shape[1]),
+            "num_feat": int(state["conv_first.weight"].shape[0]),
+            "num_grow_ch": int(state["body.0.rdb1.conv1.weight"].shape[0]),
+            "n_params": n_params,
+        }
+        return state, info
+
+    if "encoder.doubleconv2d.0.weight" in state:
+        enc = state["encoder.doubleconv2d.0.weight"]  # [hidden, in, k, k]
+        hidden, in_ch, k = int(enc.shape[0]), int(enc.shape[1]), int(enc.shape[2])
+        if "mask_encoder.1.doubleconv2d.0.weight" in state:
+            raise ValueError(
+                f"{pth} carries a mask encoder; acceptance evaluates the "
+                f"released mask-free recipes only")
+        sr1 = state["sr.upsample.1.weight"]  # [c1, hidden/zoom^2, srk, srk]
+        zoom = round((hidden / int(sr1.shape[1])) ** 0.5)
+        info = {
+            "param_key": param_key,
+            "in_channels": in_ch,
+            "hidden_channels": hidden,
+            "kernel_size": k,
+            "out_channels": int(state["sr.upsample.4.weight"].shape[0]),
+            "zoom_factor": zoom,
+            "output_size": 32 * zoom,
+            "sr_kernel_size": int(sr1.shape[2]),
+            "n_params": n_params,
+        }
+        if "fusion.fusion.0.fuse.1.weight" in state:
+            info["family"] = "highresnet"
+            # pairwise fusion leaves T free; use the recipe default
+            info["revisits"] = n_frames_hint
+        else:
+            fusion = state["doubleconv2d.doubleconv2d.0.weight"]
+            info["family"] = "srcnn"
+            info["revisits"] = int(fusion.shape[1]) // hidden
+            info["residual_layers"] = 1 + max(
+                int(key.split(".")[1]) for key in state
+                if key.startswith("residualblocks."))
+        return state, info
+
+    raise ValueError(
+        f"{pth} matches no released generator family (keys like "
+        f"{sorted(state)[:3]}...); acceptance drives RRDBNet (esrgan_*), "
+        f"SRCNN and HighResNet checkpoints")
 
 
 # ----------------------------------------------------------- forward parity
 
 
-def _forward_parity(state, info, fwd_tol: float, batch: int = 2) -> Dict[str, Any]:
+def _build_forward_pair(state, info):
+    """(fwd_jax, fwd_torch, input_shape_tail): family-dispatched forwards.
+
+    Both take/return float NHWC ([B, T, H, W, C] for the 5-D L2 family) so
+    the parity and eval stages are family-agnostic above this line.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
     import torch
 
-    from .archs import RRDBNet
     from .utils import torch_io
-    from .utils.torch_oracles import rrdbnet_forward
 
-    variables = torch_io.rrdbnet_from_torch(state, num_block=info["num_block"])
-    model = RRDBNet(num_in_ch=info["num_in_ch"], num_out_ch=3, scale=4,
-                    num_feat=info["num_feat"], num_block=info["num_block"],
-                    num_grow_ch=info["num_grow_ch"])
-    x = np.random.RandomState(0).rand(
-        batch, 32, 32, info["num_in_ch"]).astype(np.float32)
-    with jax.default_matmul_precision("highest"):
-        y_jax = np.asarray(model.apply(variables, jnp.asarray(x)))
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}
-    with torch.no_grad():
-        y_t = rrdbnet_forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)),
-                              info["num_block"], 4).numpy().transpose(0, 2, 3, 1)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in state.items()}
+    fam = info["family"]
+    if fam == "rrdbnet":
+        from .archs import RRDBNet
+        from .utils.torch_oracles import rrdbnet_forward
+
+        variables = torch_io.rrdbnet_from_torch(
+            state, num_block=info["num_block"])
+        model = RRDBNet(num_in_ch=info["num_in_ch"], num_out_ch=3, scale=4,
+                        num_feat=info["num_feat"], num_block=info["num_block"],
+                        num_grow_ch=info["num_grow_ch"])
+
+        def fwd_jax(x):
+            with jax.default_matmul_precision("highest"):
+                return model.apply(variables, x)
+
+        def fwd_torch(x):
+            with torch.no_grad():
+                y = rrdbnet_forward(
+                    sd, torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2)),
+                    info["num_block"], 4)
+            return y.numpy().transpose(0, 2, 3, 1)
+
+        return fwd_jax, fwd_torch, (32, 32, info["num_in_ch"])
+
+    arch_kw = dict(in_channels=info["in_channels"],
+                   revisits=info["revisits"],
+                   hidden_channels=info["hidden_channels"],
+                   out_channels=info["out_channels"],
+                   kernel_size=info["kernel_size"],
+                   output_size=info["output_size"],
+                   zoom_factor=info["zoom_factor"],
+                   sr_kernel_size=info["sr_kernel_size"])
+    if fam == "srcnn":
+        from .archs import SRCNN
+        from .utils.torch_oracles import srcnn_forward
+
+        model = SRCNN(residual_layers=info["residual_layers"], **arch_kw)
+        variables = torch_io.srcnn_from_torch(
+            state, residual_layers=info["residual_layers"])
+
+        def oracle(x_nchw):
+            return srcnn_forward(sd, x_nchw, info["hidden_channels"],
+                                 info["residual_layers"], info["output_size"],
+                                 info["zoom_factor"], info["sr_kernel_size"],
+                                 k=info["kernel_size"])
+    else:  # highresnet
+        from .archs import HighResNet
+        from .utils.torch_oracles import highresnet_forward
+
+        model = HighResNet(**arch_kw)
+        variables = torch_io.highresnet_from_torch(state)
+
+        def oracle(x_nchw):
+            return highresnet_forward(sd, x_nchw, info["hidden_channels"],
+                                      info["output_size"],
+                                      info["zoom_factor"],
+                                      info["sr_kernel_size"],
+                                      k=info["kernel_size"])
+
+    def fwd_jax(x):  # [B, T, H, W, C] -> [B, H', W', C]
+        with jax.default_matmul_precision("highest"):
+            return model.apply(variables, x)[:, 0]
+
+    def fwd_torch(x):
+        x_nchw = torch.from_numpy(
+            np.asarray(x).transpose(0, 1, 4, 2, 3))  # [B,T,C,H,W]
+        with torch.no_grad():
+            y = oracle(x_nchw)[:, 0]
+        return y.numpy().transpose(0, 2, 3, 1)
+
+    return fwd_jax, fwd_torch, (info["revisits"], 32, 32,
+                                info["in_channels"])
+
+
+def _forward_parity(state, info, fwd_tol: float, batch: int = 2) -> Dict[str, Any]:
+    import numpy as np
+
+    fwd_jax, fwd_torch, tail = _build_forward_pair(state, info)
+    x = np.random.RandomState(0).rand(batch, *tail).astype(np.float32)
+    import jax.numpy as jnp
+
+    y_jax = np.asarray(fwd_jax(jnp.asarray(x)))
+    y_t = fwd_torch(x)
     diff = float(np.abs(y_jax - y_t).max())
     a8 = (np.clip(y_jax, 0, 1) * 255).round()
     b8 = (np.clip(y_t, 0, 1) * 255).round()
@@ -180,41 +300,37 @@ def _dual_eval(state, info, data_root: str, *, limit: int, batch_size: int,
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import torch
 
-    from .archs import RRDBNet
     from .data import build_dataset
     from .metrics.psnr_ssim import calculate_psnr, calculate_ssim
     from .models.base import to_uint8
-    from .utils import torch_io
-    from .utils.torch_oracles import rrdbnet_forward
 
-    n_frames, rem = divmod(info["num_in_ch"], 3)
-    if rem:
-        raise ValueError(
-            f"num_in_ch={info['num_in_ch']} is not a tci frame stack; "
-            f"multi-band checkpoints need scripts/band_order_search.py first")
+    use_3d = info["family"] in ("srcnn", "highresnet")
+    if use_3d:
+        n_frames = info["revisits"]
+    else:
+        n_frames, rem = divmod(info["num_in_ch"], 3)
+        if rem:
+            raise ValueError(
+                f"num_in_ch={info['num_in_ch']} is not a tci frame stack; "
+                f"multi-band checkpoints need scripts/band_order_search.py "
+                f"first")
     ds = build_dataset({
         "name": "acceptance", "type": "S2NAIPDataset", "phase": "test",
         "scale": 4, "sentinel2_path": os.path.join(data_root, "sentinel2"),
         "naip_path": os.path.join(data_root, "naip"),
         "n_s2_images": n_frames, "use_shuffle": False, "seed": seed,
+        "use_3d": use_3d,
     })
     n = len(ds) if limit <= 0 else min(limit, len(ds))
 
-    variables = torch_io.rrdbnet_from_torch(state, num_block=info["num_block"])
-    model = RRDBNet(num_in_ch=info["num_in_ch"], num_out_ch=3, scale=4,
-                    num_feat=info["num_feat"], num_block=info["num_block"],
-                    num_grow_ch=info["num_grow_ch"])
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}
+    raw_jax, fwd_torch, _ = _build_forward_pair(state, info)
 
     @jax.jit
     def fwd_jax(lr_u8):
         # mirror the test CLI's eval forward exactly: /255, apply, to_uint8
-        # (models/esrgan.py _build_eval_step, matmul_precision highest)
-        with jax.default_matmul_precision("highest"):
-            y = model.apply(variables, lr_u8.astype(jnp.float32) / 255.0)
-            return to_uint8(y)
+        # (models/{esrgan,l2}.py _build_eval_step, matmul_precision highest)
+        return to_uint8(raw_jax(lr_u8.astype(jnp.float32) / 255.0))
 
     sums = {"jax": {"psnr": 0.0, "ssim": 0.0},
             "torch_oracle": {"psnr": 0.0, "ssim": 0.0}}
@@ -223,14 +339,10 @@ def _dual_eval(state, info, data_root: str, *, limit: int, batch_size: int,
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
         samples = [ds[i] for i in idxs]
-        lr = np.stack([s["lr"] for s in samples])  # [b, 32, 32, C] uint8
+        lr = np.stack([s["lr"] for s in samples])  # uint8, 4-D or 5-D stack
         hr = [s["hr"] for s in samples]            # [128, 128, 3] uint8
         sr_j = np.asarray(fwd_jax(jnp.asarray(lr)))
-        with torch.no_grad():
-            y = rrdbnet_forward(
-                sd, torch.from_numpy(
-                    lr.astype(np.float32).transpose(0, 3, 1, 2) / 255.0),
-                info["num_block"], 4).numpy().transpose(0, 2, 3, 1)
+        y = fwd_torch(lr.astype(np.float32) / 255.0)
         sr_t = np.rint(np.clip(y, 0, 1) * 255.0).astype(np.uint8)
         for b, i in enumerate(idxs):
             row = {"index": int(i)}
@@ -312,7 +424,8 @@ def run_acceptance(args) -> Dict[str, Any]:
 
         def _preflight():
             loaded["state"], loaded["info"] = _load_and_introspect(
-                got["weights_path"], args.param_key)
+                got["weights_path"], args.param_key,
+                n_frames_hint=args.n_frames_hint)
             return {"arch": loaded["info"],
                     "weights_path": got["weights_path"]}
 
@@ -347,6 +460,10 @@ def main(argv=None) -> int:
     ap.add_argument("--workdir", default="acceptance_ws",
                     help="where fetched artifacts land")
     ap.add_argument("--param-key", default="params_ema")
+    ap.add_argument("--n-frames-hint", type=int, default=8,
+                    help="revisits for checkpoints whose weights leave T "
+                         "free (HighResNet pairwise fusion); the released "
+                         "recipes use 8")
     ap.add_argument("--psnr-tol", type=float, default=0.05,
                     help="max |PSNR_jax - PSNR_reference| in dB")
     ap.add_argument("--fwd-tol", type=float, default=1e-4,

@@ -90,7 +90,8 @@ def test_acceptance_pass_end_to_end(http_server, tmp_path, monkeypatch,  # noqa:
     assert set(stages) == {"fetch", "preflight", "forward", "evaluate"}
     assert all(s["ok"] for s in stages.values())
     arch = stages["preflight"]["arch"]
-    assert arch == {"param_key": "params_ema", "num_block": 1, "num_in_ch": 6,
+    assert arch == {"family": "rrdbnet", "param_key": "params_ema",
+                    "num_block": 1, "num_in_ch": 6,
                     "num_feat": 8, "num_grow_ch": 4,
                     "n_params": arch["n_params"]}
     assert stages["forward"]["max_abs_diff"] <= 1e-4
@@ -158,4 +159,45 @@ def test_acceptance_rejects_non_esrgan_checkpoint(tmp_path, artifacts):
         "--workdir", str(tmp_path / "ws"), "--out", str(out)])
     assert rc == 2
     verdict = json.loads(out.read_text())
-    assert "not an RRDBNet" in verdict["stages"]["preflight"]["error"]
+    assert "no released generator family" in verdict["stages"]["preflight"]["error"]
+
+
+@pytest.mark.parametrize("family", ["srcnn", "highresnet"])
+def test_acceptance_l2_family(tmp_path, rng, family):
+    """Round 4: acceptance covers every released generator family — the
+    SRCNN/HighResNet checkpoints introspect from shapes (hidden/revisits/
+    zoom/kernel), forward against their torch oracles, and dual-evaluate
+    through the 5-D use_3d dataset path."""
+    from satlas_sr_tpu.archs import SRCNN, HighResNet
+
+    _make_val_tree(tmp_path / "tree", rng, chips=3, frames=2)
+    kw = dict(in_channels=3, mask_channels=0, revisits=2, hidden_channels=16,
+              out_channels=3, kernel_size=3, output_size=128, zoom_factor=4,
+              sr_kernel_size=1)
+    if family == "srcnn":
+        model = SRCNN(residual_layers=1, **kw)
+        to_torch = torch_io.srcnn_to_torch
+    else:
+        model = HighResNet(**kw)
+        to_torch = torch_io.highresnet_to_torch
+    variables = model.init({"params": jax.random.PRNGKey(2),
+                            "dropout": jax.random.PRNGKey(2)},
+                           jnp.zeros((1, 2, 32, 32, 3)))
+    pth = tmp_path / f"{family}_s2naip.pth"
+    torch_io.save_torch_state_dict(str(pth), to_torch(variables),
+                                   param_key="params_ema")
+
+    out = tmp_path / "v.json"
+    rc = acceptance.main([
+        "--weights", str(pth), "--data", str(tmp_path / "tree"),
+        "--workdir", str(tmp_path / "ws"), "--out", str(out),
+        "--n-frames-hint", "2", "--limit", "2", "--batch-size", "2"])
+    assert rc == 0, out.read_text()
+    verdict = json.loads(out.read_text())
+    assert verdict["pass"] is True
+    arch = verdict["stages"]["preflight"]["arch"]
+    assert arch["family"] == family
+    assert arch["hidden_channels"] == 16 and arch["zoom_factor"] == 4
+    if family == "srcnn":
+        assert arch["revisits"] == 2 and arch["residual_layers"] == 1
+    assert verdict["stages"]["evaluate"]["delta_psnr_db"] <= 0.05
