@@ -284,6 +284,12 @@ def run_doctor(opt: Dict[str, Any], strict: bool = False,
     if check_runtime:
         _check_runtime(rep, opt)
     errors, warns = rep.emit()
+    weights = (opt.get("path") or {}).get("pretrain_network_g")
+    if weights and os.path.isfile(os.path.expanduser(str(weights))):
+        # real weights on disk: the north-star parity check is one command
+        print("\nhint: weights present — validate PSNR parity with "
+              f"`python -m satlas_sr_tpu.acceptance --weights {weights} "
+              "--data <val_root>` (writes PARITY_RESULTS.json)")
     print(f"\n{errors} error(s), {warns} warning(s)")
     if errors or (strict and warns):
         return 1
