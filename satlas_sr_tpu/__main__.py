@@ -18,6 +18,7 @@ CLIS = [
     ("fetch", "download published datasets/weights (resumable)"),
     ("profile", "device-trace a config's hot program + per-op summary"),
     ("acceptance", "one-command PSNR-parity verdict vs a released checkpoint"),
+    ("tune", "measure + rank (batch, remat, accum) throughput for a config"),
 ]
 
 

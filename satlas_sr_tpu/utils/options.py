@@ -53,16 +53,27 @@ def _postprocess_yml_value(value: str) -> Any:
     return value
 
 
+# Optional schema knobs the code reads with a default, so most configs omit
+# them — creatable via --force_yml (e.g. the tune CLI's recommended overrides)
+# without weakening the typo protection for everything else.
+_FORCE_YML_CREATABLE = {
+    "network_g:remat",
+    "train:accum_steps",
+}
+
+
 def apply_force_yml(opt: Dict[str, Any], entries) -> None:
-    """Apply `a:b:c=value` overrides in place (no new keys created)."""
+    """Apply `a:b:c=value` overrides in place (no new keys created, except
+    the known optional-with-default knobs in _FORCE_YML_CREATABLE)."""
     for entry in entries or []:
         keys, value = entry.split("=", 1)
         keys = keys.strip().split(":")
         node = opt
         for k in keys[:-1]:
             node = node[k]
-        if keys[-1] not in node:
-            raise KeyError(f"--force_yml cannot create new key {':'.join(keys)}")
+        path = ":".join(keys)
+        if keys[-1] not in node and path not in _FORCE_YML_CREATABLE:
+            raise KeyError(f"--force_yml cannot create new key {path}")
         node[keys[-1]] = _postprocess_yml_value(value.strip())
 
 
