@@ -24,13 +24,18 @@ Stages (each recorded in the verdict JSON, first failure stops the run):
             against the reference archs layer by layer) on identical
             inputs, CPU float32 with highest matmul precision
   evaluate  dual-path metric run over the val set: every sample is loaded
-            once and forwarded through BOTH implementations; PSNR/SSIM
+            once and forwarded through BOTH implementations; PSNR/SSIM/cPSNR
             (crop_border=4, RGB — the reference test: block,
             ssr/options/esrgan_s2naip_urban.yml) computed with the same
-            metric code for both
+            metric code for both; CLIPScore dual-scored too when a
+            pretrained tower is available locally (--clip-model /
+            --clip-weights / SSR_TPU_CLIP_WEIGHTS), skipped-and-recorded
+            otherwise (a random tower would gate parity on noise)
   verdict   PARITY_RESULTS.json with explicit pass/fail:
             |PSNR_jax − PSNR_torch| ≤ --psnr-tol (default 0.05 dB,
-            BASELINE.json north star) and forward max|Δ| ≤ --fwd-tol
+            BASELINE.json north star; same bar on the cPSNR delta),
+            |ΔCLIPScore| ≤ --clipscore-tol when the CLIP leg runs, and
+            forward max|Δ| ≤ --fwd-tol
 
 Why torch-oracle-as-reference is the honest comparator: the reference eval
 stack (ssr/test.py:41-44 → basicsr metrics) cannot run here, but its forward
@@ -296,12 +301,14 @@ def _forward_parity(state, info, fwd_tol: float, batch: int = 2) -> Dict[str, An
 
 
 def _dual_eval(state, info, data_root: str, *, limit: int, batch_size: int,
-               psnr_tol: float, seed: int = 0) -> Dict[str, Any]:
+               psnr_tol: float, clip_model: str, clip_weights: Optional[str],
+               clipscore_tol: float, seed: int = 0) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from .data import build_dataset
+    from .metrics.cpsnr import calculate_cpsnr
     from .metrics.psnr_ssim import calculate_psnr, calculate_ssim
     from .models.base import to_uint8
 
@@ -326,14 +333,28 @@ def _dual_eval(state, info, data_root: str, *, limit: int, batch_size: int,
 
     raw_jax, fwd_torch, _ = _build_forward_pair(state, info)
 
+    # CLIPScore leg (north star: "PSNR/SSIM/cPSNR/CLIPScore fidelity"):
+    # dual-scored with OUR tower on both generators' outputs, so the delta
+    # isolates the generator forward — but only meaningful with a real
+    # (pretrained) tower; a seeded random tower would gate parity on noise.
+    from .metrics.clipscore import calculate_clipscore, tower_pretrained
+
+    clip_ready = tower_pretrained(clip_model, clip_weights)
+    if not clip_ready:
+        print(f"  clipscore leg skipped: no pretrained weights for "
+              f"{clip_model} (set SSR_TPU_CLIP_WEIGHTS or --clip-weights)",
+              file=sys.stderr)
+
     @jax.jit
     def fwd_jax(lr_u8):
         # mirror the test CLI's eval forward exactly: /255, apply, to_uint8
         # (models/{esrgan,l2}.py _build_eval_step, matmul_precision highest)
         return to_uint8(raw_jax(lr_u8.astype(jnp.float32) / 255.0))
 
-    sums = {"jax": {"psnr": 0.0, "ssim": 0.0},
-            "torch_oracle": {"psnr": 0.0, "ssim": 0.0}}
+    zero = {"psnr": 0.0, "ssim": 0.0, "cpsnr": 0.0}
+    if clip_ready:
+        zero["clipscore"] = 0.0
+    sums = {"jax": dict(zero), "torch_oracle": dict(zero)}
     per_image: List[Dict[str, float]] = []
     done = 0
     for start in range(0, n, batch_size):
@@ -349,9 +370,18 @@ def _dual_eval(state, info, data_root: str, *, limit: int, batch_size: int,
             for tag, sr in (("jax", sr_j[b]), ("torch_oracle", sr_t[b])):
                 p = float(calculate_psnr(sr, hr[b], crop_border=4))
                 s = float(calculate_ssim(sr, hr[b], crop_border=4))
+                c = float(calculate_cpsnr(sr, hr[b], crop_border=4))
                 sums[tag]["psnr"] += p
                 sums[tag]["ssim"] += s
+                sums[tag]["cpsnr"] += c
                 row[f"{tag}_psnr"] = p
+                row[f"{tag}_cpsnr"] = c
+                if clip_ready:
+                    cs = float(calculate_clipscore(
+                        sr, hr[b], clip_model=clip_model,
+                        clip_weights_path=clip_weights))
+                    sums[tag]["clipscore"] += cs
+                    row[f"{tag}_clipscore"] = cs
             per_image.append(row)
             done += 1
         print(f"\r  evaluated {done}/{n}", end="", file=sys.stderr)
@@ -360,17 +390,30 @@ def _dual_eval(state, info, data_root: str, *, limit: int, batch_size: int,
         raise ValueError(f"no usable samples in {data_root}")
     means = {tag: {m: v / done for m, v in d.items()} for tag, d in sums.items()}
     delta = abs(means["jax"]["psnr"] - means["torch_oracle"]["psnr"])
+    delta_c = abs(means["jax"]["cpsnr"] - means["torch_oracle"]["cpsnr"])
     worst = max(per_image,
                 key=lambda r: abs(r["jax_psnr"] - r["torch_oracle_psnr"]))
-    return {
+    ok = delta <= psnr_tol and delta_c <= psnr_tol
+    out = {
         "images_evaluated": done,
         "metrics": means,
         "delta_psnr_db": delta,
+        "delta_cpsnr_db": delta_c,
         "worst_image": {"index": worst["index"],
                         "delta_psnr_db": abs(worst["jax_psnr"]
                                              - worst["torch_oracle_psnr"])},
-        "ok": delta <= psnr_tol,
     }
+    if clip_ready:
+        delta_cs = abs(means["jax"]["clipscore"]
+                       - means["torch_oracle"]["clipscore"])
+        out["delta_clipscore"] = delta_cs
+        out["clip_model"] = clip_model
+        ok = ok and delta_cs <= clipscore_tol
+    else:
+        out["clipscore"] = {"skipped": f"no pretrained weights for "
+                                       f"{clip_model}"}
+    out["ok"] = ok
+    return out
 
 
 # ----------------------------------------------------------------- pipeline
@@ -435,7 +478,9 @@ def run_acceptance(args) -> Dict[str, Any]:
         stage("forward", lambda: _forward_parity(state, info, args.fwd_tol))
         stage("evaluate", lambda: _dual_eval(
             state, info, got["dataset_root"], limit=args.limit,
-            batch_size=args.batch_size, psnr_tol=args.psnr_tol))
+            batch_size=args.batch_size, psnr_tol=args.psnr_tol,
+            clip_model=args.clip_model, clip_weights=args.clip_weights,
+            clipscore_tol=args.clipscore_tol))
         verdict["pass"] = True
         return verdict
     finally:
@@ -465,7 +510,18 @@ def main(argv=None) -> int:
                          "free (HighResNet pairwise fusion); the released "
                          "recipes use 8")
     ap.add_argument("--psnr-tol", type=float, default=0.05,
-                    help="max |PSNR_jax - PSNR_reference| in dB")
+                    help="max |PSNR_jax - PSNR_reference| in dB (also "
+                         "applied to the cPSNR delta)")
+    ap.add_argument("--clip-model", default="siglip-ViT-SO400M-14",
+                    help="CLIPScore tower (the reference test: block's "
+                         "choice); dual-scored only when pretrained weights "
+                         "are available locally")
+    ap.add_argument("--clip-weights", default=None,
+                    help="local CLIP weights path (falls back to "
+                         "SSR_TPU_CLIP_WEIGHTS / the model-spec default)")
+    ap.add_argument("--clipscore-tol", type=float, default=0.002,
+                    help="max |CLIPScore_jax - CLIPScore_reference| (cosine "
+                         "similarity units) when the CLIP leg runs")
     ap.add_argument("--fwd-tol", type=float, default=1e-4,
                     help="max float forward |diff| vs the torch oracle")
     ap.add_argument("--limit", type=int, default=0,

@@ -101,6 +101,14 @@ def test_acceptance_pass_end_to_end(http_server, tmp_path, monkeypatch,  # noqa:
     # both absolute PSNRs recorded for future comparison with published numbers
     assert 0 < ev["metrics"]["jax"]["psnr"] < 60
     assert 0 < ev["metrics"]["torch_oracle"]["psnr"] < 60
+    # cPSNR rides the same dual-eval and the same ±tol bar (north star
+    # names PSNR/SSIM/cPSNR/CLIPScore)
+    assert ev["delta_cpsnr_db"] <= 0.05
+    assert 0 < ev["metrics"]["jax"]["cpsnr"] < 65
+    # CLIPScore leg: no pretrained tower in this env -> recorded as skipped,
+    # never gated on a random tower's noise
+    assert "skipped" in ev["clipscore"]
+    assert "delta_clipscore" not in ev
     # the artifacts landed where a rerun will find them
     assert (tmp_path / "ws" / "weights" / "esrgan_8S2.pth").exists()
     assert (tmp_path / "ws" / "data" / "small_val_set" / "naip").is_dir()
