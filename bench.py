@@ -126,7 +126,11 @@ def cpu_baseline() -> float:
     return tiles
 
 
-def train_bench(batch: int, iters: int = 5, trials: int = 3) -> float:
+def train_bench(batch: int, iters: int = 5, trials: int = 5) -> float:
+    # trials=5 (was 3): the hosted tunnel shows sporadic multi-second
+    # stalls on bad days (BENCH_NOTES "Round-4 bench refresh": p50 RTT
+    # 31 ms with a 78 s outlier); best-of-N needs enough windows to
+    # sample around them. Costs ~3 s of extra device time.
     """Full ESRGAN GAN step samples/s (G fwd/bwd + VGG percep + D fwd/bwd +
     spectral norm + EMA + both optimizers), bf16, lazy logs."""
     import jax

@@ -104,7 +104,6 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
     # stitch — stay on one process). Contiguity keeps the global-index frame
     # seeding a scalar offset, so outputs are bit-identical to a 1-process
     # run regardless of process count.
-    global_start = 0
     if world > 1:
         if grid_naming:
             tiles = sorted({os.path.dirname(p) for p in pngs})
@@ -116,16 +115,40 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
                 )
         else:
             idx = list(shard_contiguous(total, rank, world))
-        global_start = idx[0] if idx else 0
         pngs = [pngs[i] for i in idx]
         print(f"Process {rank}/{world}: inference on {len(pngs)} of {total} images.")
     else:
+        idx = list(range(total))
         print(f"Running inference on {len(pngs)} images.")
+
+    # `skip_existing: true` — resumable batch inference (beyond the
+    # reference, which recomputes the full corpus after any interruption,
+    # ssr/infer.py:42-67). Outputs are keyed by GLOBAL corpus index and
+    # frame-selection RNG is salted by that same index, so recomputing only
+    # the missing outputs is bit-identical to a straight full run.
+    if opt.get("skip_existing"):
+        def _is_done(gi: int, path: str) -> bool:
+            if grid_naming:
+                tile, name = path.split("/")[-2], path.split("/")[-1]
+                return os.path.exists(os.path.join(save_path, tile, name))
+            out_dir = os.path.join(save_path, str(gi))
+            if save_lr and not os.path.exists(os.path.join(out_dir, "lr.png")):
+                return False
+            return os.path.exists(os.path.join(out_dir, "sr.png"))
+
+        kept = [(gi, p) for gi, p in zip(idx, pngs) if not _is_done(gi, p)]
+        n_skipped = len(pngs) - len(kept)
+        if n_skipped:
+            print(f"skip_existing: {n_skipped} outputs already present, "
+                  f"{len(kept)} to compute.")
+        idx = [gi for gi, _ in kept]
+        pngs = [p for _, p in kept]
+
     t0 = time.time()
-    count = global_start  # output dirs are numbered by GLOBAL corpus index
     batches = batched(pngs, engine.batch_size)
+    index_batches = batched(idx, engine.batch_size)
     seed = opt.get("manual_seed", 0) or 0
-    meta: list = []  # (paths, previews) per batch, in flight order
+    meta: list = []  # (paths, previews, global indices) per batch, in flight order
 
     # Host pipeline: PNG decode on a prefetching thread pool and PNG encode on
     # a writer pool (the native libpng extension releases the GIL for both),
@@ -143,46 +166,47 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
     writer = BoundedWriter(write_pool, max_pending=4 * workers)
 
     def decode(arg):
-        bi, bp = arg
-        # global-index seeding: formatting is invariant to batch size
+        bp, bidx = arg
+        # explicit global-index seeding: formatting is invariant to batch
+        # size, process sharding and skip_existing filtering
         if s2_bands:
             from .utils.infer_utils import format_s2naip_multiband_batch
 
-            return bp, format_s2naip_multiband_batch(
-                bp, s2_bands, n_lr_images, seed=seed,
-                index_offset=global_start + bi * engine.batch_size)
-        return bp, format_s2naip_batch(bp, n_lr_images, seed=seed,
-                                       index_offset=global_start + bi * engine.batch_size)
+            return bp, bidx, format_s2naip_multiband_batch(
+                bp, s2_bands, n_lr_images, seed=seed, indices=bidx)
+        return bp, bidx, format_s2naip_batch(bp, n_lr_images, seed=seed,
+                                             indices=bidx)
 
     def produce():
-        for bp, (inputs, previews) in prefetch_map(
-                decode_pool, decode, enumerate(batches), decode_prefetch):
-            meta.append((bp, previews))
+        for bp, bidx, (inputs, previews) in prefetch_map(
+                decode_pool, decode, zip(batches, index_batches),
+                decode_prefetch):
+            meta.append((bp, previews, bidx))
             yield inputs
 
+    done = 0
     try:
         for outputs in engine.run_many(produce()):
-            batch_paths, previews = meta.pop(0)
+            batch_paths, previews, bidx = meta.pop(0)
             for k, path in enumerate(batch_paths):
                 if grid_naming:
                     # Preserve {tile}/{i}_{j}.png for stitching (ssr/infer_grid.py:49-53).
-                    tile, idx = path.split("/")[-2], path.split("/")[-1]
-                    writer.submit(write_png, os.path.join(save_path, tile, idx),
+                    tile, name = path.split("/")[-2], path.split("/")[-1]
+                    writer.submit(write_png, os.path.join(save_path, tile, name),
                                   outputs[k])
                 else:
-                    out_dir = os.path.join(save_path, str(count))
+                    out_dir = os.path.join(save_path, str(bidx[k]))
                     if save_lr:
                         writer.submit(write_png, os.path.join(out_dir, "lr.png"),
                                       previews[k])
                     writer.submit(write_png, os.path.join(out_dir, "sr.png"),
                                   outputs[k])
-                count += 1
+                done += 1
         writer.drain()  # surface any write error
     finally:
         decode_pool.shutdown(wait=True)
         write_pool.shutdown(wait=True)
     dt = time.time() - t0
-    done = count - global_start
     if done:
         print(f"Done: {done} images in {dt:.2f}s ({done / dt:.1f} img/s)")
     return done

@@ -32,7 +32,21 @@ from .utils.lint import report_lint
 from .utils.options import yaml_load
 
 
-def stitch_tiles(data_dir: str, save_path: str, rank: int = 0, world: int = 1) -> None:
+def _skip_done_tiles(tiles, save_path: str, mode: str):
+    """skip_existing filter shared by the seam-free modes: a tile is done
+    when both stitched outputs exist (resume semantics — the reference
+    recomputes every tile after an interruption)."""
+    kept = [t for t in tiles
+            if not (os.path.exists(os.path.join(save_path, t, "stitched_sr.png"))
+                    and os.path.exists(os.path.join(save_path, t, "stitched_s2.png")))]
+    if len(kept) != len(tiles):
+        print(f"skip_existing: {len(tiles) - len(kept)} {mode} tiles already "
+              f"stitched, {len(kept)} to compute.")
+    return kept
+
+
+def stitch_tiles(data_dir: str, save_path: str, rank: int = 0, world: int = 1,
+                 skip_existing: bool = False) -> None:
     import glob as _glob
 
     # Derive tiles exactly like run_inference(grid_naming=True) does — from
@@ -47,6 +61,10 @@ def stitch_tiles(data_dir: str, save_path: str, rank: int = 0, world: int = 1) -
         tile_dirs = [tile_dirs[i] for i in shard_contiguous(len(tile_dirs), rank, world)]
     for tile_dir in tile_dirs:
         tile = os.path.basename(tile_dir)
+        if skip_existing and \
+                os.path.exists(os.path.join(save_path, tile, "stitched_sr.png")) and \
+                os.path.exists(os.path.join(save_path, tile, "stitched_s2.png")):
+            continue
         print("Stitching images for tile", tile)
         if len(os.listdir(tile_dir)) < 256:
             print(f"Tile {tile} contains less than 256 chunks, cannot stitch. Skipping.")
@@ -140,6 +158,8 @@ def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
     tiles = _discover_tiles(
         data_dir, grid_size, rank, world, "Whole-tile",
         f"spatial_shards={spatial}, batch={engine.batch_size}")
+    if opt.get("skip_existing"):
+        tiles = _skip_done_tiles(tiles, save_path, "whole-tile")
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -266,6 +286,8 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
         data_dir, grid_size, rank, world, "Halo",
         f"halo={halo}, window={win}, {n_win} windows/tile, "
         f"batch={engine.batch_size}")
+    if opt.get("skip_existing"):
+        tiles = _skip_done_tiles(tiles, save_path, "halo")
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -345,7 +367,8 @@ def main(argv=None):
         run_halo_tiles(opt, rank=rank, world=world)
         return
     run_inference(opt, save_lr=False, grid_naming=True, rank=rank, world=world)
-    stitch_tiles(opt["data_dir"], opt["save_path"], rank=rank, world=world)
+    stitch_tiles(opt["data_dir"], opt["save_path"], rank=rank, world=world,
+                 skip_existing=bool(opt.get("skip_existing")))
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ not float32 — 4x less host->device traffic than the reference's per-png loop).
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -59,7 +59,7 @@ def format_s2naip_data(
 
 def format_s2naip_batch(
     pngs: Sequence[str], n_s2_images: int, seed: int = 0, workers: int = 4,
-    index_offset: int = 0,
+    index_offset: int = 0, indices: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Decode + format many pngs into one [B, 32, 32, T*3] uint8 batch.
 
@@ -69,8 +69,10 @@ def format_s2naip_batch(
     single-file reads when the batched native entry point is unavailable.
 
     Frame-selection RNG is seeded by the GLOBAL image index
-    (seed + index_offset + i), so a corpus formats identically regardless of
-    how it is batched.
+    (seed + index_offset + i, or seed + indices[i] when explicit per-image
+    indices are given — the skip_existing resume path, where the surviving
+    corpus is no longer contiguous), so a corpus formats identically
+    regardless of how it is batched or filtered.
     """
     from .native_png import read_png_many
 
@@ -81,7 +83,8 @@ def format_s2naip_batch(
         decoded = None
 
     def fmt(i, arr):
-        rng = np.random.RandomState(seed + index_offset + i)
+        gi = indices[i] if indices is not None else index_offset + i
+        rng = np.random.RandomState(seed + gi)
         return format_s2naip_data(arr, n_s2_images, rng)
 
     if decoded is not None:
@@ -239,15 +242,18 @@ def format_s2naip_multiband(
 def format_s2naip_multiband_batch(
     chip_dirs: Sequence[str], bands: Sequence[str], n_s2_images: int,
     seed: int = 0, index_offset: int = 0,
+    indices: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Many chip dirs -> ([B, 32, 32, T*C_total] uint8, tci previews).
 
     Same global-index RNG seeding contract as format_s2naip_batch: the
-    formatted corpus is invariant to batch size and process sharding.
+    formatted corpus is invariant to batch size, process sharding and
+    skip_existing filtering.
     """
     inputs, previews = [], []
     for i, chip_dir in enumerate(chip_dirs):
-        rng = np.random.RandomState(seed + index_offset + i)
+        gi = indices[i] if indices is not None else index_offset + i
+        rng = np.random.RandomState(seed + gi)
         x, preview = format_s2naip_multiband(chip_dir, bands, n_s2_images, rng)
         inputs.append(x)
         previews.append(preview)

@@ -135,6 +135,7 @@ _TOP_INFER = {
     "n_lr_images": None, "s2_bands": None,
     "batch_size": None, "grid_size": None, "whole_tile": None, "halo": None,
     "halo_window": None, "spatial_shards": None, "decode_prefetch": None,
+    "skip_existing": None,
     "manual_seed": None, "scale": None, "num_gpu": None,
     "compute_dtype": None, "matmul_precision": None,
     "network_g": None, "path": _PATH,

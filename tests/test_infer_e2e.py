@@ -71,6 +71,75 @@ def test_infer_end_to_end(tmp_path, rng):
         assert lr.shape == (32, 32, 3)
 
 
+def test_infer_skip_existing_resume_bit_identical(tmp_path, rng):
+    """skip_existing: interrupted-corpus resume recomputes ONLY the missing
+    outputs, and the resumed corpus is bit-identical to a straight full run
+    (frame-selection RNG is salted by the ORIGINAL global corpus index, so
+    filtering must not shift any survivor's salt)."""
+    import shutil
+
+    from satlas_sr_tpu.infer import run_inference
+
+    data_dir = tmp_path / "sentinel2" / "sub"
+    os.makedirs(data_dir)
+    for i in range(5):
+        # multiple good frames so per-index RNG actually changes selections
+        _write_s2_png(data_dir / f"{i}.png", rng, n_frames=4)
+
+    save = tmp_path / "out"
+    opt = _opt(tmp_path, tmp_path / "sentinel2", save)
+    assert run_inference(opt) == 5
+    full = {i: read_png(str(save / str(i) / "sr.png")) for i in range(5)}
+
+    # simulate an interrupted run: outputs 1 and 3 lost (3 only partially —
+    # sr.png present but lr.png missing must count as NOT done)
+    shutil.rmtree(save / "1")
+    os.remove(save / "3" / "lr.png")
+    kept_mtime = os.path.getmtime(save / "2" / "sr.png")
+
+    opt["skip_existing"] = True
+    assert run_inference(opt) == 2  # only the two incomplete outputs
+    for i in range(5):
+        np.testing.assert_array_equal(
+            read_png(str(save / str(i) / "sr.png")), full[i])
+    # the untouched output was not rewritten
+    assert os.path.getmtime(save / "2" / "sr.png") == kept_mtime
+
+    # a fully-complete corpus is a no-op
+    assert run_inference(opt) == 0
+
+
+def test_infer_grid_skip_existing(tmp_path, rng):
+    """Grid mode: per-chunk outputs skip; stitch skips fully-stitched tiles."""
+    import yaml
+
+    from satlas_sr_tpu.infer_grid import main as grid_main
+
+    grid = 4
+    tile_dir = tmp_path / "s2" / "tile_1_2"
+    os.makedirs(tile_dir)
+    for i in range(grid):
+        for j in range(grid):
+            _write_s2_png(tile_dir / f"{i}_{j}.png", rng, n_frames=N_FRAMES)
+
+    save = tmp_path / "out"
+    opt = _opt(tmp_path, tmp_path / "s2", save)
+    opt["skip_existing"] = True
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    grid_main(["-opt", str(opt_path)])
+    first = read_png(str(save / "tile_1_2" / "1_1.png"))
+    os.remove(save / "tile_1_2" / "0_0.png")
+    kept_mtime = os.path.getmtime(save / "tile_1_2" / "1_1.png")
+    grid_main(["-opt", str(opt_path)])
+    # missing chunk recomputed, existing chunk untouched, bit-identical
+    assert (save / "tile_1_2" / "0_0.png").exists()
+    assert os.path.getmtime(save / "tile_1_2" / "1_1.png") == kept_mtime
+    np.testing.assert_array_equal(
+        read_png(str(save / "tile_1_2" / "1_1.png")), first)
+
+
 def test_infer_grid_end_to_end(tmp_path, rng):
     from satlas_sr_tpu.infer_grid import main as grid_main
     import yaml
