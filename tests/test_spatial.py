@@ -318,3 +318,21 @@ def test_halo_chunked_matches_whole_tile(tmp_path):
     np.testing.assert_array_equal(
         read_png(str(tmp_path / "whole" / "22_33" / "stitched_s2.png")),
         read_png(str(tmp_path / "halo" / "22_33" / "stitched_s2.png")))
+
+
+def test_skip_done_tiles_filters_only_fully_stitched(tmp_path):
+    """skip_existing for the seam-free modes: a tile counts as done only
+    with BOTH stitched outputs present (partial writes recompute)."""
+    from satlas_sr_tpu.infer_grid import _skip_done_tiles
+    from satlas_sr_tpu.utils.imgio import write_png
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    save = str(tmp_path)
+    os.makedirs(os.path.join(save, "t_done"))
+    write_png(os.path.join(save, "t_done", "stitched_sr.png"), img)
+    write_png(os.path.join(save, "t_done", "stitched_s2.png"), img)
+    os.makedirs(os.path.join(save, "t_partial"))
+    write_png(os.path.join(save, "t_partial", "stitched_sr.png"), img)
+
+    tiles = ["t_done", "t_partial", "t_missing"]
+    assert _skip_done_tiles(tiles, save, "halo") == ["t_partial", "t_missing"]
