@@ -185,3 +185,17 @@ def test_parse_options_prints_lint_warnings(tmp_path, capsys):
 
     parse_options(str(tmp_path), is_train=True, argv=["-opt", str(cfg)])
     assert "ema_decy" in capsys.readouterr().out
+
+
+def test_doctor_f32_train_perf_hint(capsys):
+    """The doctor surfaces the bf16 lever on f32 train configs (an OK-level
+    hint, never a warning — f32 is the legitimate parity default) and stays
+    quiet once the config already runs bfloat16."""
+    base = {"name": "x", "model_type": "L2Model", "scale": 4,
+            "train": {"total_iter": 1}}
+    run_doctor(dict(base), check_runtime=False)
+    out = capsys.readouterr().out
+    assert "bfloat16 runs" in out and "satlas_sr_tpu.tune" in out
+
+    run_doctor({**base, "compute_dtype": "bfloat16"}, check_runtime=False)
+    assert "bfloat16 runs" not in capsys.readouterr().out
