@@ -250,6 +250,32 @@ class _Handler(BaseHTTPRequestHandler):
                 "queue_depth": batcher.queue_depth(),
             })
             self._send_json(200, snap)
+        elif self.path == "/metrics":
+            # Prometheus text exposition (production scrape target; the
+            # JSON twin at /stats stays for humans/scripts).
+            batcher = ctx["batcher"]
+            snap = ctx["stats"].snapshot()
+            lat = snap["latency_ms"]
+            lines = [
+                "# TYPE sr_requests_total counter",
+                f"sr_requests_total {snap['requests_total']}",
+                "# TYPE sr_errors_total counter",
+                f"sr_errors_total {snap['errors_total']}",
+                "# TYPE sr_batches_total counter",
+                f"sr_batches_total {batcher.batches_total}",
+                "# TYPE sr_images_batched_total counter",
+                f"sr_images_batched_total {batcher.images_total}",
+                "# TYPE sr_queue_depth gauge",
+                f"sr_queue_depth {batcher.queue_depth()}",
+                "# TYPE sr_reload_generation gauge",
+                f"sr_reload_generation {ctx.get('reloads', 0)}",
+            ]
+            for name, val in (("p50", lat["p50"]), ("p95", lat["p95"])):
+                if val is not None:
+                    lines += [f"# TYPE sr_latency_ms_{name} gauge",
+                              f"sr_latency_ms_{name} {val}"]
+            self._send(200, ("\n".join(lines) + "\n").encode(),
+                       ctype="text/plain; version=0.0.4")
         else:
             self._send_json(404, {"error": "not found"})
 

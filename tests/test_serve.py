@@ -123,6 +123,18 @@ def test_serve_raw_output_and_observability(running_server, rng):
     assert stats["images_batched"] >= 1
     assert stats["latency_ms"]["count"] >= 1
 
+    # Prometheus twin of /stats: text exposition with the same counters
+    status, body, headers = _post(base + "/metrics", None, method="GET")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+    text = body.decode()
+    assert "# TYPE sr_requests_total counter" in text
+    metrics = {l.split()[0]: float(l.split()[1])
+               for l in text.splitlines() if l and not l.startswith("#")}
+    assert metrics["sr_requests_total"] == stats["requests_total"]
+    assert metrics["sr_batches_total"] >= 1
+    assert "sr_latency_ms_p50" in metrics
+
 
 def test_serve_rejects_bad_requests(running_server, rng):
     base, _, _, _ = running_server
