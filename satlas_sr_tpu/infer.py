@@ -50,6 +50,74 @@ def load_infer_variables(opt: dict, model, n_lr_images: int, use_3d: bool):
     return model.init(jax.random.PRNGKey(0), example)
 
 
+def corpus_fingerprint(pngs, data_dir: str) -> dict:
+    """Sorted relative-path corpus enumeration + count + sha256 over it."""
+    import hashlib
+
+    rel = [os.path.relpath(p, data_dir) for p in pngs]
+    digest = hashlib.sha256("\n".join(rel).encode()).hexdigest()
+    return {"count": len(rel), "sha256": digest, "paths": rel}
+
+
+def guard_corpus_manifest(save_path: str, pngs, data_dir: str,
+                          rank: int = 0, force: bool = False) -> None:
+    """Refuse a skip_existing resume over a mutated corpus.
+
+    skip_existing keys outputs and frame-RNG salts by POSITION in the sorted
+    corpus; adding/removing one input file between interrupt and resume
+    silently shifts every later index, so a resumed run would mix two
+    inconsistent enumerations with no visible symptom. Guard: the first
+    skip_existing run persists `{save_path}/.ssr_corpus_manifest.json`
+    (count + sha256 of the sorted relative paths); every subsequent run
+    verifies it and refuses loudly on mismatch. `--force` accepts the current
+    corpus as the new authoritative enumeration (overwrites the manifest).
+    The reference has no resume story at all (ssr/infer.py:42-67), so safety
+    here is this repo's own bar.
+    """
+    import json
+
+    man_path = os.path.join(save_path, ".ssr_corpus_manifest.json")
+    fp = corpus_fingerprint(pngs, data_dir)
+
+    def _write():
+        if rank != 0:
+            return
+        os.makedirs(save_path, exist_ok=True)
+        tmp = f"{man_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(tmp, man_path)
+
+    if os.path.exists(man_path) and not force:
+        with open(man_path) as f:
+            prev = json.load(f)
+        if (prev.get("count"), prev.get("sha256")) == (fp["count"], fp["sha256"]):
+            return
+        # Pure tail-append (every previous path at the same sorted position,
+        # new files only after them): existing indices all still map to the
+        # same inputs, so a growing corpus (cron-style re-drives) is safe —
+        # accept and extend the manifest.
+        prev_paths = prev.get("paths")
+        if (prev_paths is not None and len(prev_paths) <= fp["count"]
+                and fp["paths"][: len(prev_paths)] == prev_paths):
+            print(f"skip_existing: corpus grew {len(prev_paths)} -> "
+                  f"{fp['count']} files (append-only at the tail of the sort "
+                  "order — existing indices unchanged); manifest extended.")
+            _write()
+            return
+        raise RuntimeError(
+            "skip_existing: the input corpus changed since this save_path "
+            f"was first written ({prev.get('count')} files then, "
+            f"{fp['count']} now) and not by a pure tail append. Outputs and "
+            "frame-RNG salts are keyed by position in the sorted corpus, so "
+            "resuming would silently mix two inconsistent enumerations. "
+            "Either point save_path somewhere fresh, or re-run with --force "
+            "to re-enumerate (existing index-keyed outputs may then "
+            "correspond to different inputs)."
+        )
+    _write()
+
+
 def shard_contiguous(n_items: int, rank: int, world: int) -> range:
     """Balanced contiguous [start, stop) range for this process."""
     base, extra = divmod(n_items, world)
@@ -58,7 +126,7 @@ def shard_contiguous(n_items: int, rank: int, world: int) -> range:
 
 
 def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
-                  rank: int = 0, world: int = 1) -> int:
+                  rank: int = 0, world: int = 1, force: bool = False) -> int:
     data_dir = opt["data_dir"]
     n_lr_images = int(opt["n_lr_images"])
     save_path = opt["save_path"]
@@ -99,6 +167,10 @@ def run_inference(opt: dict, save_lr: bool = True, grid_naming: bool = False,
     else:
         pngs = sorted(glob.glob(os.path.join(data_dir, "**", "*.png"), recursive=True))
     total = len(pngs)
+    if opt.get("skip_existing"):
+        # guard over the FULL pre-shard corpus: every process must agree on
+        # the same global enumeration before any index-keyed work happens
+        guard_corpus_manifest(save_path, pngs, data_dir, rank=rank, force=force)
     # Multi-process: each process takes a contiguous shard of the sorted
     # corpus (grid mode shards whole tiles so every tile's chunks — and its
     # stitch — stay on one process). Contiguity keeps the global-index frame
@@ -218,6 +290,9 @@ def main(argv=None):
     parser.add_argument("--launcher", choices=["none", "jax", "pytorch", "slurm"],
                         default="none", help="'jax' shards the corpus across "
                         "jax.distributed processes (one contiguous block each).")
+    parser.add_argument("--force", action="store_true",
+                        help="with skip_existing: accept a corpus that changed "
+                        "since save_path's manifest was written (re-enumerate).")
     args = parser.parse_args(argv)
     from .utils.jax_cache import enable_compilation_cache
 
@@ -227,7 +302,7 @@ def main(argv=None):
     rank, world = init_distributed(args.launcher)
     opt = yaml_load(args.opt)
     report_lint(opt, "infer", rank=rank)
-    run_inference(opt, rank=rank, world=world)
+    run_inference(opt, rank=rank, world=world, force=args.force)
 
 
 if __name__ == "__main__":

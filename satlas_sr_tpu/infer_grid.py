@@ -126,7 +126,8 @@ def _build_index_map(data_dir: str):
     return {p: i for i, p in enumerate(all_pngs)}
 
 
-def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
+def run_whole_tile(opt: dict, rank: int = 0, world: int = 1,
+                   force: bool = False) -> int:
     """One generator pass per WHOLE tile, spatially sharded over the mesh."""
     from .utils.model_utils import uses_3d_input
 
@@ -158,14 +159,20 @@ def run_whole_tile(opt: dict, rank: int = 0, world: int = 1) -> int:
     tiles = _discover_tiles(
         data_dir, grid_size, rank, world, "Whole-tile",
         f"spatial_shards={spatial}, batch={engine.batch_size}")
+    index_map = _build_index_map(data_dir)
     if opt.get("skip_existing"):
+        # frame RNG is salted by global corpus index (index_map): a corpus
+        # mutated between interrupt and resume shifts later salts, so the
+        # resumed tiles would differ from an uninterrupted run — guard first
+        from .infer import guard_corpus_manifest
+
+        guard_corpus_manifest(save_path, list(index_map), data_dir,
+                              rank=rank, force=force)
         tiles = _skip_done_tiles(tiles, save_path, "whole-tile")
 
     from concurrent.futures import ThreadPoolExecutor
 
     from .inference import BoundedWriter, batched, prefetch_map
-
-    index_map = _build_index_map(data_dir)
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 1))
     writer = BoundedWriter(pool, max_pending=8)
@@ -220,7 +227,8 @@ def _responsibility(starts, win: int, L: int):
     return list(zip(bounds[:-1], bounds[1:]))
 
 
-def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
+def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1,
+                   force: bool = False) -> int:
     """Seam-free chunked inference via overlapping 32x32 windows
     (VERDICT r2 next #8).
 
@@ -286,14 +294,19 @@ def run_halo_tiles(opt: dict, rank: int = 0, world: int = 1) -> int:
         data_dir, grid_size, rank, world, "Halo",
         f"halo={halo}, window={win}, {n_win} windows/tile, "
         f"batch={engine.batch_size}")
+    index_map = _build_index_map(data_dir)
     if opt.get("skip_existing"):
+        # same index-salted frame RNG as whole-tile mode: guard the global
+        # enumeration before skipping anything
+        from .infer import guard_corpus_manifest
+
+        guard_corpus_manifest(save_path, list(index_map), data_dir,
+                              rank=rank, force=force)
         tiles = _skip_done_tiles(tiles, save_path, "halo")
 
     from concurrent.futures import ThreadPoolExecutor
 
     from .inference import BoundedWriter, prefetch_map
-
-    index_map = _build_index_map(data_dir)
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 1))
     writer = BoundedWriter(pool, max_pending=8)
@@ -351,6 +364,9 @@ def main(argv=None):
     parser.add_argument("--launcher", choices=["none", "jax", "pytorch", "slurm"],
                         default="none", help="'jax' shards tiles across "
                         "jax.distributed processes (contiguous blocks).")
+    parser.add_argument("--force", action="store_true",
+                        help="with skip_existing: accept a corpus that changed "
+                        "since save_path's manifest was written (re-enumerate).")
     args = parser.parse_args(argv)
     from .utils.jax_cache import enable_compilation_cache
 
@@ -361,12 +377,13 @@ def main(argv=None):
     opt = yaml_load(args.opt)
     report_lint(opt, "infer", rank=rank)
     if opt.get("whole_tile"):
-        run_whole_tile(opt, rank=rank, world=world)
+        run_whole_tile(opt, rank=rank, world=world, force=args.force)
         return
     if opt.get("halo"):
-        run_halo_tiles(opt, rank=rank, world=world)
+        run_halo_tiles(opt, rank=rank, world=world, force=args.force)
         return
-    run_inference(opt, save_lr=False, grid_naming=True, rank=rank, world=world)
+    run_inference(opt, save_lr=False, grid_naming=True, rank=rank, world=world,
+                  force=args.force)
     stitch_tiles(opt["data_dir"], opt["save_path"], rank=rank, world=world,
                  skip_existing=bool(opt.get("skip_existing")))
 

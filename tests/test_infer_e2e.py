@@ -109,6 +109,108 @@ def test_infer_skip_existing_resume_bit_identical(tmp_path, rng):
     assert run_inference(opt) == 0
 
 
+def test_infer_skip_existing_refuses_mutated_corpus(tmp_path, rng):
+    """Manifest guard: adding/removing an input between interrupt and resume
+    shifts every later global index (output keys AND frame-RNG salts), so a
+    skip_existing resume over a mutated corpus must refuse loudly; --force
+    re-enumerates."""
+    from satlas_sr_tpu.infer import run_inference
+
+    data_dir = tmp_path / "sentinel2" / "sub"
+    os.makedirs(data_dir)
+    for i in range(4):
+        _write_s2_png(data_dir / f"{i}.png", rng, n_frames=4)
+
+    save = tmp_path / "out"
+    opt = _opt(tmp_path, tmp_path / "sentinel2", save)
+    opt["skip_existing"] = True
+    assert run_inference(opt) == 4
+    assert (save / ".ssr_corpus_manifest.json").exists()
+
+    # pure tail append (sorts after every existing path): existing indices
+    # are unchanged, so a growing corpus is accepted and only the new input
+    # is computed; the manifest is extended in place
+    _write_s2_png(data_dir / "8.png", rng, n_frames=4)
+    assert run_inference(opt) == 1
+    assert run_inference(opt) == 0  # extended manifest matches
+
+    # removal shifts later indices -> refused
+    os.remove(data_dir / "1.png")
+    with pytest.raises(RuntimeError, match="corpus changed"):
+        run_inference(opt)
+
+    # same count as the manifest, different enumeration -> still refused
+    _write_s2_png(data_dir / "9.png", rng, n_frames=4)
+    with pytest.raises(RuntimeError, match="corpus changed"):
+        run_inference(opt)
+
+    # --force re-enumerates: accepts the new corpus and rewrites the manifest
+    assert run_inference(opt, force=True) >= 0
+    assert run_inference(opt) >= 0  # manifest now matches the new corpus
+
+
+def test_infer_grid_skip_existing_refuses_mutated_corpus(tmp_path, rng):
+    """Grid (chunked) mode has the same index-keyed salts: guard applies."""
+    import yaml
+
+    from satlas_sr_tpu.infer_grid import main as grid_main
+
+    grid = 2
+    tile_dir = tmp_path / "s2" / "tile_0_0"
+    os.makedirs(tile_dir)
+    for i in range(grid):
+        for j in range(grid):
+            _write_s2_png(tile_dir / f"{i}_{j}.png", rng, n_frames=N_FRAMES)
+
+    save = tmp_path / "out"
+    opt = _opt(tmp_path, tmp_path / "s2", save)
+    opt["skip_existing"] = True
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    grid_main(["-opt", str(opt_path)])
+
+    os.remove(tile_dir / "0_1.png")
+    with pytest.raises(RuntimeError, match="corpus changed"):
+        grid_main(["-opt", str(opt_path)])
+    grid_main(["-opt", str(opt_path), "--force"])  # re-enumerates
+
+
+def test_infer_halo_skip_existing_refuses_mutated_corpus(tmp_path, rng):
+    """Seam-free (halo) mode salts frames by the same global corpus index:
+    the guard must refuse a mutated corpus there too."""
+    import yaml
+
+    from satlas_sr_tpu.infer_grid import main as grid_main
+
+    grid = 2
+    for tile in ("tile_0_0", "tile_0_1"):
+        tile_dir = tmp_path / "s2" / tile
+        os.makedirs(tile_dir)
+        for i in range(grid):
+            for j in range(grid):
+                _write_s2_png(tile_dir / f"{i}_{j}.png", rng, n_frames=N_FRAMES)
+
+    save = tmp_path / "out"
+    opt = _opt(tmp_path, tmp_path / "s2", save)
+    opt["skip_existing"] = True
+    opt["halo"] = 4
+    opt["halo_window"] = 16
+    opt["grid_size"] = grid
+    opt["batch_size"] = 4
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    grid_main(["-opt", str(opt_path)])
+    assert (save / ".ssr_corpus_manifest.json").exists()
+
+    _write_s2_png(tmp_path / "s2" / "tile_0_0" / "extra.png", rng,
+                  n_frames=N_FRAMES)
+    with pytest.raises(RuntimeError, match="corpus changed"):
+        grid_main(["-opt", str(opt_path)])
+    grid_main(["-opt", str(opt_path), "--force"])
+
+
 def test_infer_grid_skip_existing(tmp_path, rng):
     """Grid mode: per-chunk outputs skip; stitch skips fully-stitched tiles."""
     import yaml
