@@ -87,7 +87,8 @@ def test_acceptance_pass_end_to_end(http_server, tmp_path, monkeypatch,  # noqa:
     verdict = json.loads(out.read_text())
     assert verdict["pass"] is True
     stages = verdict["stages"]
-    assert set(stages) == {"fetch", "preflight", "forward", "evaluate"}
+    assert set(stages) == {"fetch", "preflight", "forward", "evaluate",
+                           "bf16_engine"}
     assert all(s["ok"] for s in stages.values())
     arch = stages["preflight"]["arch"]
     assert arch == {"family": "rrdbnet", "param_key": "params_ema",
@@ -109,6 +110,19 @@ def test_acceptance_pass_end_to_end(http_server, tmp_path, monkeypatch,  # noqa:
     # never gated on a random tower's noise
     assert "skipped" in ev["clipscore"]
     assert "delta_clipscore" not in ev
+    # bf16 production-engine leg (round 5): ties the throughput headline's
+    # path to a parity verdict — informational fields always present, and
+    # the top-level verdict names which engine is at-parity
+    prod = stages["bf16_engine"]
+    assert prod["images_evaluated"] == 3
+    assert set(prod["delta_bf16_vs_eval_db"]) == {"psnr", "cpsnr"}
+    assert set(prod["delta_f32_engine_vs_eval_db"]) == {"psnr", "cpsnr"}
+    assert prod["at_parity_engine"] in ("bfloat16", "float32_highest")
+    assert prod["bf16_within_bar"] == (prod["at_parity_engine"] == "bfloat16")
+    assert verdict["at_parity_engine"] == prod["at_parity_engine"]
+    # the f32-engine control differs from the f32 eval only by
+    # truncation-vs-rounding quantisation; on these images that is small
+    assert prod["delta_f32_engine_vs_eval_db"]["psnr"] < 1.0
     # the artifacts landed where a rerun will find them
     assert (tmp_path / "ws" / "weights" / "esrgan_8S2.pth").exists()
     assert (tmp_path / "ws" / "data" / "small_val_set" / "naip").is_dir()
