@@ -200,6 +200,7 @@ class ExportedEngine:
         # Precedence: explicit request > the artifact's pinned batch >
         # caller's default (serve passes the config's batch_size) > 64.
         fixed = self.meta.get("batch_size")
+        self.fixed_batch = fixed is not None
         self.batch_size = int(batch_size or fixed or default_batch_size or 64)
         if fixed is not None and self.batch_size != int(fixed):
             raise ValueError(
@@ -207,17 +208,29 @@ class ExportedEngine:
                 f"{self.batch_size} (use a --symbolic_batch export for "
                 "variable batch sizes)")
 
-    def _prep(self, batch_np: np.ndarray) -> np.ndarray:
+    def round_bucket(self, b: int) -> int:
+        """Valid compiled batch >= b: fixed-batch artifacts carry exactly one
+        program shape; symbolic-batch ones compile any size on demand."""
+        if self.fixed_batch:
+            return self.batch_size
+        return min(self.batch_size, max(1, int(b)))
+
+    def _prep(self, batch_np: np.ndarray,
+              bucket: Optional[int] = None) -> np.ndarray:
         from .inference import prep_batch
 
-        return prep_batch(np.ascontiguousarray(batch_np), self.batch_size,
+        return prep_batch(np.ascontiguousarray(batch_np),
+                          bucket or self.batch_size,
                           self.use_3d, self.n_frames)
 
-    def dispatch(self, batch_np: np.ndarray) -> Tuple[int, Any]:
+    def dispatch(self, batch_np: np.ndarray,
+                 bucket: Optional[int] = None) -> Tuple[int, Any]:
         import jax
 
         n = batch_np.shape[0]
-        return n, self._call(jax.device_put(self._prep(batch_np)))
+        if self.fixed_batch:
+            bucket = None  # one program shape; smaller pads would fail
+        return n, self._call(jax.device_put(self._prep(batch_np, bucket)))
 
     def fetch(self, handle) -> np.ndarray:
         n, y = handle

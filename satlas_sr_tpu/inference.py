@@ -62,10 +62,12 @@ class InferenceEngine:
                          if spatial_shards > 1 else data_mesh(devices))
         else:
             self.mesh = None
+        self._batch_quantum = 1
         if self.mesh is not None:
             # Pad batch to a multiple of the data-axis size for even sharding.
             n_dev = mesh_axis_size(self.mesh, "data", self.mesh.devices.size)
             self.batch_size = max(batch_size // n_dev, 1) * n_dev
+            self._batch_quantum = n_dev
         if getattr(model, "dtype", None) in (jnp.bfloat16, jnp.float16):
             # Inference-only: store weights in the compute dtype — halves
             # per-step weight HBM reads; training keeps f32 master params.
@@ -100,11 +102,18 @@ class InferenceEngine:
 
         self._run = _run
 
-    def _prep(self, batch_np: np.ndarray) -> np.ndarray:
-        return prep_batch(batch_np, self.batch_size, self.use_3d, self.n_frames)
+    def round_bucket(self, b: int) -> int:
+        """Smallest valid compiled batch size >= b: mesh-even (the data axis
+        shards the batch) and capped at the engine's full batch."""
+        q = self._batch_quantum
+        return min(self.batch_size, max(1, -(-int(b) // q) * q))
 
-    def _put(self, batch_np: np.ndarray):
-        x = self._prep(np.ascontiguousarray(batch_np))
+    def _prep(self, batch_np: np.ndarray, bucket: Optional[int] = None) -> np.ndarray:
+        return prep_batch(batch_np, bucket or self.batch_size, self.use_3d,
+                          self.n_frames)
+
+    def _put(self, batch_np: np.ndarray, bucket: Optional[int] = None):
+        x = self._prep(np.ascontiguousarray(batch_np), bucket)
         if self.mesh is not None:
             return shard_batch(self.mesh, x)
         return jax.device_put(x)
@@ -115,16 +124,21 @@ class InferenceEngine:
         y = self._run(self.variables, self._put(batch_np))
         return np.asarray(y)[:n]
 
-    def dispatch(self, batch_np: np.ndarray):
+    def dispatch(self, batch_np: np.ndarray, bucket: Optional[int] = None):
         """Asynchronously enqueue a batch; returns an opaque in-flight handle.
 
         device_put and the jitted call return immediately (JAX async
         dispatch); pair with `fetch` from another thread to overlap transfer,
         compute and result readback — the serving daemon's pipeline
         (satlas_sr_tpu/serve.py) and run_many both ride this.
+
+        `bucket` pads to that batch shape instead of the full batch_size —
+        the jitted program compiles once per distinct shape, so a serving
+        daemon can keep a small-batch executable next to the full one and
+        stop charging shallow queues for 64 padded slots (serve.py buckets).
         """
         n = batch_np.shape[0]
-        return n, self._run(self.variables, self._put(batch_np))
+        return n, self._run(self.variables, self._put(batch_np, bucket))
 
     def fetch(self, handle) -> np.ndarray:
         """Block for a `dispatch` handle's result; strips the batch padding."""

@@ -4,13 +4,16 @@ Beyond the reference, which ships only file-corpus CLIs (ssr/infer.py:42-67
 runs batch=1 per png and exits): a long-lived server process holding ONE
 compiled engine program and coalescing concurrent requests into fixed-shape
 device batches. The TPU-first serving pattern: jitted programs have static
-shapes, so the server always runs the same [batch_size, 32, 32, T*3]
-executable — requests are micro-batched (a dispatcher waits up to
-`max_wait_ms` to fill a batch) and trailing slots are padded, exactly like
-the infer CLI pads its final batch. Dispatch and result-fetch run on
-separate threads so host->device transfer, device compute and readback of
-consecutive batches overlap (InferenceEngine.dispatch/.fetch), with a
-bounded in-flight window for backpressure.
+shapes, so the server runs a SMALL SET of pre-compiled [b, 32, 32, T*3]
+executables (batch-shape buckets, default [batch/8, batch]) — requests are
+micro-batched (a dispatcher waits up to `max_wait_ms` to fill a batch), the
+smallest bucket covering the gathered requests runs, and trailing slots are
+padded, exactly like the infer CLI pads its final batch. Buckets are the
+low-traffic latency lever: at 20 rps a fill-1 request no longer computes 64
+padded slots (round 5; BENCH_NOTES serving table). Dispatch and result-fetch
+run on separate threads so host->device transfer, device compute and
+readback of consecutive batches overlap (InferenceEngine.dispatch/.fetch),
+with a bounded in-flight window for backpressure.
 
 Endpoints:
   POST /v1/sr    body: PNG of a [T*32, 32, 3] stacked Sentinel-2 time series
@@ -57,6 +60,28 @@ class QueueFullError(RuntimeError):
     """Raised by MicroBatcher.submit when the request queue is at its limit."""
 
 
+def resolve_buckets(engine, buckets) -> list:
+    """Sorted compiled batch shapes for dispatch-time bucket selection.
+
+    `buckets` is None (single full-batch shape — the pre-round-5 behavior),
+    the string 'auto' (one small bucket of ~batch_size/8 next to the full
+    batch — measured to cut low-traffic p50 without hurting saturation,
+    BENCH_NOTES round-5 serving buckets), or an iterable of ints. Entries
+    are rounded to valid engine batches (mesh-even, capped at batch_size)
+    and the full batch is always kept so saturation throughput is unchanged.
+    Fixed-batch .ssrx artifacts carry one program shape: everything
+    collapses to [batch_size] (round_bucket pins it).
+    """
+    bs = engine.batch_size
+    rounder = getattr(engine, "round_bucket", None) \
+        or (lambda b: min(bs, max(1, int(b))))
+    if buckets is None:
+        return [bs]
+    if buckets == "auto":
+        buckets = [bs // 8] if bs >= 8 else []
+    return sorted({rounder(int(b)) for b in buckets} | {bs})
+
+
 class MicroBatcher:
     """Coalesces single-image requests into fixed-size engine batches.
 
@@ -70,7 +95,8 @@ class MicroBatcher:
     """
 
     def __init__(self, engine, input_shape: Tuple[int, ...],
-                 max_wait_ms: float = 5.0, max_queue: int = 512, depth: int = 2):
+                 max_wait_ms: float = 5.0, max_queue: int = 512, depth: int = 2,
+                 buckets=None):
         self.engine = engine
         self.input_shape = tuple(input_shape)
         self.max_wait = max(0.0, float(max_wait_ms)) / 1000.0
@@ -81,6 +107,13 @@ class MicroBatcher:
         self._inflight: Queue = Queue(maxsize=max(1, int(depth)))
         self.batches_total = 0
         self.images_total = 0
+        # Batch-shape buckets (round 5): at dispatch time the smallest
+        # compiled shape covering the gathered requests runs, so a
+        # shallow queue pays a small program instead of the full padded
+        # batch — the low-traffic p50 lever (a fill-1 request on batch 64
+        # otherwise computes 64 slots to answer 1).
+        self.buckets = resolve_buckets(engine, buckets)
+        self.bucket_batches = {b: 0 for b in self.buckets}
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="sr-batch-dispatch", daemon=True)
         self._fetcher = threading.Thread(
@@ -133,14 +166,22 @@ class MicroBatcher:
                     while self._items and len(got) < bs:
                         got.append(self._items.popleft())
             futures = [f for _, f in got]
+            bucket = next(b for b in self.buckets if b >= len(got))
             try:
-                handle = self.engine.dispatch(np.stack([x for x, _ in got]))
+                stacked = np.stack([x for x, _ in got])
+                if len(self.buckets) == 1:
+                    # single-shape engines (and test fakes) keep the
+                    # bucket-free dispatch signature
+                    handle = self.engine.dispatch(stacked)
+                else:
+                    handle = self.engine.dispatch(stacked, bucket=bucket)
             except Exception as exc:  # noqa: BLE001 - propagate to callers
                 for f in futures:
                     f.set_exception(exc)
                 continue
             self.batches_total += 1
             self.images_total += len(got)
+            self.bucket_batches[bucket] += 1
             self._inflight.put((futures, handle))  # blocks at `depth`
 
     def _fetch_loop(self) -> None:
@@ -234,6 +275,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "model": ctx["model_type"],
                 "n_lr_images": ctx["n_frames"],
                 "batch_size": ctx["batcher"].engine.batch_size,
+                "buckets": ctx["batcher"].buckets,
                 "platform": ctx["platform"],
                 "artifact": ctx.get("artifact"),
                 "reload_generation": ctx.get("reloads", 0),
@@ -248,6 +290,8 @@ class _Handler(BaseHTTPRequestHandler):
                     batcher.images_total / batcher.batches_total, 2)
                 if batcher.batches_total else None,
                 "queue_depth": batcher.queue_depth(),
+                "batches_by_bucket": {str(k): v for k, v
+                                      in batcher.bucket_batches.items()},
             })
             self._send_json(200, snap)
         elif self.path == "/metrics":
@@ -267,6 +311,9 @@ class _Handler(BaseHTTPRequestHandler):
                 f"sr_images_batched_total {batcher.images_total}",
                 "# TYPE sr_queue_depth gauge",
                 f"sr_queue_depth {batcher.queue_depth()}",
+                "# TYPE sr_bucket_batches_total counter",
+                *[f'sr_bucket_batches_total{{bucket="{b}"}} {n}'
+                  for b, n in batcher.bucket_batches.items()],
                 "# TYPE sr_reload_generation gauge",
                 f"sr_reload_generation {ctx.get('reloads', 0)}",
             ]
@@ -396,7 +443,7 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def _build_engine(opt: dict, batch_size: Optional[int],
-                  artifact: Optional[str], warmup: bool):
+                  artifact: Optional[str], warmup: bool, buckets=None):
     """Engine + model_type from a config (or a .ssrx artifact). Shared by
     startup and hot reload; raises (leaving live traffic untouched on the
     reload path) when the artifact doesn't fit the serving contract."""
@@ -436,9 +483,11 @@ def _build_engine(opt: dict, batch_size: Optional[int],
         model_type = opt["network_g"]["type"]
     input_shape = (32, 32, n_frames * 3)
     if warmup:
-        # Compile before accepting traffic (or swapping an engine under
-        # traffic) so no request ever pays the jit compile.
-        engine.run(np.zeros((engine.batch_size,) + input_shape, np.uint8))
+        # Compile EVERY bucket shape before accepting traffic (or swapping
+        # an engine under traffic) so no request ever pays a jit compile.
+        for b in resolve_buckets(engine, buckets):
+            engine.fetch(engine.dispatch(
+                np.zeros((b,) + input_shape, np.uint8), bucket=b))
     return engine, model_type, input_shape
 
 
@@ -454,11 +503,13 @@ def reload_engine(ctx: dict, artifact: str) -> dict:
     with ctx["reload_lock"]:
         old = ctx["batcher"]
         engine, model_type, input_shape = _build_engine(
-            ctx["opt"], ctx["batch_size"], artifact, warmup=True)
+            ctx["opt"], ctx["batch_size"], artifact, warmup=True,
+            buckets=ctx.get("buckets"))
         new = MicroBatcher(engine, input_shape,
                            max_wait_ms=old.max_wait * 1000.0,
                            max_queue=old.max_queue,
-                           depth=old._inflight.maxsize)
+                           depth=old._inflight.maxsize,
+                           buckets=ctx.get("buckets"))
         ctx["batcher"] = new  # atomic publish: handlers read ctx once/request
         ctx["model_type"] = model_type
         ctx["artifact"] = artifact
@@ -474,7 +525,8 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
                  max_queue: int = 512, depth: int = 2, timeout_s: float = 60.0,
                  warmup: bool = True, verbose: bool = False,
                  artifact: Optional[str] = None,
-                 admin_token: Optional[str] = None):
+                 admin_token: Optional[str] = None,
+                 buckets=None):
     """Construct (server, batcher): model + engine + micro-batcher + HTTP.
 
     `artifact` serves a `.ssrx` AOT export (satlas_sr_tpu/export.py) instead
@@ -488,9 +540,9 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
 
     n_frames = int(opt["n_lr_images"])
     engine, model_type, input_shape = _build_engine(
-        opt, batch_size, artifact, warmup)
+        opt, batch_size, artifact, warmup, buckets=buckets)
     batcher = MicroBatcher(engine, input_shape, max_wait_ms=max_wait_ms,
-                           max_queue=max_queue, depth=depth)
+                           max_queue=max_queue, depth=depth, buckets=buckets)
 
     class _Server(ThreadingHTTPServer):
         # socketserver's default listen backlog is 5: concurrent clients
@@ -521,6 +573,7 @@ def build_server(opt: dict, host: str = "127.0.0.1", port: int = 8000,
         "batch_size": batch_size,
         "artifact": artifact,
         "admin_token": admin_token,
+        "buckets": buckets,  # original spec; reloads re-resolve it
         "reload_lock": threading.Lock(),
         "reloads": 0,
     }
@@ -534,6 +587,13 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--buckets", type=str, default="auto",
+                        help="Comma-separated batch-shape buckets compiled "
+                             "next to the full batch; the smallest shape "
+                             "covering each gathered micro-batch runs "
+                             "('auto' = one small bucket of batch/8 — the "
+                             "low-traffic latency lever; 'none' = single "
+                             "full-batch shape).")
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
     parser.add_argument("--queue_limit", type=int, default=512)
     parser.add_argument("--timeout_s", type=float, default=60.0)
@@ -555,12 +615,18 @@ def main(argv=None):
     from .utils.lint import report_lint
 
     report_lint(opt, "infer")
+    if args.buckets == "none":
+        buckets = None
+    elif args.buckets == "auto":
+        buckets = "auto"
+    else:
+        buckets = [int(b) for b in args.buckets.split(",") if b.strip()]
     server, batcher = build_server(
         opt, host=args.host, port=args.port, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, max_queue=args.queue_limit,
         timeout_s=args.timeout_s, warmup=not args.no_warmup,
         verbose=args.verbose, artifact=args.artifact,
-        admin_token=args.admin_token)
+        admin_token=args.admin_token, buckets=buckets)
 
     import signal
 
@@ -588,7 +654,7 @@ def main(argv=None):
         signal.signal(signal.SIGHUP, _hup)
     print(f"serving {server.ctx['model_type']} on "
           f"http://{server.server_address[0]}:{server.server_address[1]} "
-          f"(batch {batcher.engine.batch_size}, wait {args.max_wait_ms} ms)",
+          f"(batch buckets {batcher.buckets}, wait {args.max_wait_ms} ms)",
           flush=True)
     try:
         server.serve_forever()

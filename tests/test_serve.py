@@ -415,7 +415,8 @@ def test_reload_engine_drains_old_inflight(monkeypatch, tmp_path):
            "reload_lock": threading.Lock(), "reloads": 0}
 
     monkeypatch.setattr(serve_mod, "_build_engine",
-                        lambda opt, bs, art, warmup: (new_eng, "fake", shape))
+                        lambda opt, bs, art, warmup, buckets=None:
+                        (new_eng, "fake", shape))
 
     x = np.zeros(shape, np.uint8)
     old_eng.gate.clear()                         # park the old device "busy"
@@ -441,3 +442,99 @@ def test_reload_engine_drains_old_inflight(monkeypatch, tmp_path):
     np.testing.assert_array_equal(new_fut.result(timeout=30),
                                   2 * np.ones(shape, np.uint8))
     ctx["batcher"].close()
+
+
+# ------------------------------------------------------------------ buckets
+
+
+class BucketFakeEngine(FakeEngine):
+    """FakeEngine accepting bucketed dispatch, recording the chosen shape."""
+
+    def __init__(self, batch_size=8):
+        super().__init__(batch_size)
+        self.buckets_seen = []
+
+    def round_bucket(self, b):
+        return min(self.batch_size, max(1, int(b)))
+
+    def dispatch(self, batch, bucket=None):
+        self.gate.wait(timeout=30)
+        self.buckets_seen.append(bucket)
+        self.batches.append(batch.shape[0])
+        return batch
+
+
+def test_resolve_buckets():
+    from satlas_sr_tpu.serve import resolve_buckets
+
+    eng = BucketFakeEngine(batch_size=64)
+    assert resolve_buckets(eng, None) == [64]
+    assert resolve_buckets(eng, "auto") == [8, 64]
+    assert resolve_buckets(eng, [4, 100, 4]) == [4, 64]  # dedup + cap at bs
+
+    class Fixed(BucketFakeEngine):
+        # fixed-batch .ssrx artifacts carry exactly one program shape
+        def round_bucket(self, b):
+            return self.batch_size
+
+    assert resolve_buckets(Fixed(batch_size=16), "auto") == [16]
+
+
+def test_microbatcher_bucket_selection():
+    """A shallow queue dispatches on the small compiled shape; a deep one on
+    the full batch — the round-5 low-traffic latency lever."""
+    eng = BucketFakeEngine(batch_size=8)
+    mb = MicroBatcher(eng, (2, 2, 3), max_wait_ms=5.0, depth=1, buckets=[2])
+    x = np.zeros((2, 2, 3), np.uint8)
+    try:
+        assert mb.buckets == [2, 8]
+        mb.submit(x).result(timeout=30)          # lone request -> bucket 2
+        eng.gate.clear()                         # hold the device "busy"
+        first = mb.submit(x)
+        time.sleep(0.1)
+        later = [mb.submit(x) for _ in range(5)]
+        eng.gate.set()
+        for f in [first] + later:
+            f.result(timeout=30)
+        assert eng.buckets_seen[0] == 2
+        # 5 requests coalesced during the stall exceed bucket 2 -> full batch
+        assert 8 in eng.buckets_seen
+        assert mb.bucket_batches[2] >= 1 and mb.bucket_batches[8] >= 1
+    finally:
+        mb.close()
+
+
+def test_serve_buckets_end_to_end(tmp_path, rng):
+    """Real engine, two compiled shapes: a lone request runs the small bucket
+    and its HTTP output is identical to the full-batch program's."""
+    opt = _serve_opt(tmp_path)
+    # the suite's virtual mesh has 8 devices, so the batch quantum is 8:
+    # serve batch 16 with an 8-wide small bucket (on a 1-chip production
+    # host the quantum is 1 and 'auto' gives batch/8)
+    server, batcher = build_server(opt, host="127.0.0.1", port=0,
+                                   max_wait_ms=5.0, timeout_s=120.0,
+                                   batch_size=16, buckets=[8])
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        assert batcher.buckets == [8, 16]
+        s = (rng.rand(4 * 32, 32, 3) * 254 + 1).astype(np.uint8)
+        formatted = format_s2naip_data(
+            s, N_FRAMES, rng=np.random.RandomState(opt["manual_seed"]))[0]
+        expected = batcher.engine.run(formatted[None])[0]
+        status, body, _ = _post(base + "/v1/sr", encode_png_bytes(s))
+        assert status == 200
+        np.testing.assert_array_equal(read_png_bytes(body), expected)
+        status, body, _ = _post(base + "/healthz", None, method="GET")
+        assert json.loads(body)["buckets"] == [8, 16]
+        status, body, _ = _post(base + "/stats", None, method="GET")
+        by_bucket = json.loads(body)["batches_by_bucket"]
+        assert by_bucket.get("8", 0) >= 1
+        status, body, _ = _post(base + "/metrics", None, method="GET")
+        assert b'sr_bucket_batches_total{bucket="8"}' in body
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+        thread.join(timeout=10)
