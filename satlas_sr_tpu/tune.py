@@ -1,8 +1,18 @@
 """Train-step throughput autotuner CLI.
 
+Recommended (recipe-safe) invocation — hold the optimizer-visible batch at
+the recipe's global batch so every ranked candidate is numerically
+EQUIVALENT training (batch x accum splits of the same update; the
+reference's 8-GPU recipe is global batch 32, README.md:159):
+
 `python -m satlas_sr_tpu.tune -opt options/esrgan_s2naip_urban.yml
-    [--batches 16,32,64] [--remat auto] [--effective_batch 256]
-    [--iters 10] [--trials 3] [--out tune_results.json]`
+    --effective_batch 32 [--batches 8,16,32] [--dtypes float32,bfloat16]
+    [--remat auto] [--iters 10] [--trials 3] [--out tune_results.json]`
+
+Without --effective_batch the sweep ranks RAW batch sizes — useful for
+finding the chip's throughput ceiling, but the top recommendation then
+CHANGES the optimizer-visible batch (a different recipe, not a faster run
+of the same one). The CLI prints a loud note in that mode.
 
 Productizes the per-chip throughput sweeps run by hand across rounds
 (BENCH_NOTES.md: batch/remat/accum interact non-monotonically — batch 64
@@ -63,17 +73,23 @@ def _parse_remat_mode(s: str):
 
 def build_candidates(opt: Dict[str, Any], batches: List[int],
                      remat_modes: Optional[List[Any]],
-                     effective_batch: Optional[int]) -> List[Dict[str, Any]]:
-    """Cartesian (batch, remat) grid; accum derived from --effective_batch.
+                     effective_batch: Optional[int],
+                     dtypes: Optional[List[str]] = None) -> List[Dict[str, Any]]:
+    """Cartesian (batch, remat, dtype) grid; accum from --effective_batch.
 
     remat_modes=None means 'auto': the config's own setting everywhere,
     plus 'rdb' for batches above the smallest candidate (the measured
     regime where remat wins — BENCH_NOTES round-4 remat table). Non-RRDB
     generators have no remat axis and get only the config's setting.
+    dtypes=None keeps the config's compute_dtype (no dtype axis); note a
+    dtype sweep ranks runs that are NOT numerically identical — bf16
+    trajectory equivalence is measured separately
+    (scripts/dtype_train_equiv.py).
     """
     net_g = opt.get("network_g") or {}
     has_remat_axis = str(net_g.get("type", "")) == "SSR_RRDBNet"
     config_remat = net_g.get("remat", False)
+    dtype_axis = dtypes or [None]
     cands = []
     for b in sorted(set(batches)):
         if effective_batch is not None:
@@ -91,7 +107,11 @@ def build_candidates(opt: Dict[str, Any], batches: List[int],
         else:
             modes = remat_modes
         for mode in modes:
-            cands.append({"batch": b, "remat": mode, "accum": accum})
+            for dt in dtype_axis:
+                cand = {"batch": b, "remat": mode, "accum": accum}
+                if dt is not None:
+                    cand["dtype"] = dt
+                cands.append(cand)
     return cands
 
 
@@ -130,6 +150,8 @@ def measure_candidate(opt: Dict[str, Any], cand: Dict[str, Any],
     o.setdefault("train", {})["accum_steps"] = cand["accum"]
     o.setdefault("datasets", {}).setdefault("train", {})[
         "batch_size_per_gpu"] = cand["batch"]
+    if cand.get("dtype"):
+        o["compute_dtype"] = cand["dtype"]
     # Throughput doesn't depend on weight values; drop artifact paths so
     # the tuner runs before anything is fetched.
     path = o.setdefault("path", {})
@@ -174,11 +196,14 @@ def measure_candidate(opt: Dict[str, Any], cand: Dict[str, Any],
 def recommend_force_yml(cand: Dict[str, Any]) -> List[str]:
     remat = cand["remat"]
     remat_s = remat if isinstance(remat, str) else str(bool(remat))
-    return [
+    out = [
         f"datasets:train:batch_size_per_gpu={cand['batch']}",
         f"network_g:remat={remat_s}",
         f"train:accum_steps={cand['accum']}",
     ]
+    if cand.get("dtype"):
+        out.append(f"compute_dtype={cand['dtype']}")
+    return out
 
 
 def main(argv=None) -> int:
@@ -193,7 +218,16 @@ def main(argv=None) -> int:
                          "comma list of false|block|rdb|conv_outs")
     ap.add_argument("--effective_batch", type=int, default=None,
                     help="hold optimizer-visible batch fixed at E "
-                         "(accum_steps = E // batch; non-divisors skipped)")
+                         "(accum_steps = E // batch; non-divisors skipped) — "
+                         "the recipe-safe mode: every candidate is then the "
+                         "SAME training run, just split differently")
+    ap.add_argument("--dtypes", default=None,
+                    help="comma list of compute dtypes to sweep (e.g. "
+                         "float32,bfloat16); default: the config's own. "
+                         "NOTE: unlike batch x accum splits, dtypes are NOT "
+                         "numerically identical — check trajectory "
+                         "equivalence with scripts/dtype_train_equiv.py "
+                         "before shipping a dtype change")
     ap.add_argument("--iters", type=int, default=10,
                     help="timed steps per trial")
     ap.add_argument("--trials", type=int, default=3)
@@ -213,11 +247,19 @@ def main(argv=None) -> int:
     batches = [int(b) for b in args.batches.split(",") if b.strip()]
     remat_modes = (None if args.remat.strip().lower() == "auto" else
                    [_parse_remat_mode(m) for m in args.remat.split(",")])
-    cands = build_candidates(opt, batches, remat_modes, args.effective_batch)
+    dtypes = ([d.strip() for d in args.dtypes.split(",") if d.strip()]
+              if args.dtypes else None)
+    cands = build_candidates(opt, batches, remat_modes, args.effective_batch,
+                             dtypes)
     if not cands:
         print("no feasible candidates (check --batches vs --effective_batch)",
               file=sys.stderr)
         return 2
+    if args.effective_batch is None and len(set(c["batch"] for c in cands)) > 1:
+        print("NOTE: no --effective_batch given — this sweep ranks DIFFERENT "
+              "optimizer-visible batches (different recipes), not faster "
+              "splits of the same one. Pass --effective_batch <global batch> "
+              "to rank numerically-equivalent candidates.", flush=True)
 
     import jax
 
@@ -229,6 +271,8 @@ def main(argv=None) -> int:
     for cand in cands:
         label = (f"batch={cand['batch']} remat={cand['remat']} "
                  f"accum={cand['accum']}")
+        if cand.get("dtype"):
+            label += f" dtype={cand['dtype']}"
         print(f"  {label} ...", end="", flush=True)
         row = measure_candidate(opt, cand, args.iters, args.trials)
         results.append(row)
@@ -242,12 +286,16 @@ def main(argv=None) -> int:
     ok = [r for r in results if r["ok"]]
     best = max(ok, key=lambda r: r["samples_per_s"]) if ok else None
 
-    print("\n| batch | remat | accum | samples/s | ms/step | compile s |")
-    print("|---|---|---|---|---|---|")
+    dtype_col = any("dtype" in r for r in ok)
+    hdr = "| batch | remat | accum |" + (" dtype |" if dtype_col else "") \
+        + " samples/s | ms/step | compile s |"
+    print("\n" + hdr)
+    print("|" + "---|" * (hdr.count("|") - 1))
     for r in sorted(ok, key=lambda r: -r["samples_per_s"]):
         mark = " **" if r is best else ""
-        print(f"| {r['batch']} | {r['remat']} | {r['accum']} "
-              f"| {r['samples_per_s']}{mark} | {r['ms_per_step']} "
+        dt = f" {r.get('dtype', '-')} |" if dtype_col else ""
+        print(f"| {r['batch']} | {r['remat']} | {r['accum']} |{dt}"
+              f" {r['samples_per_s']}{mark} | {r['ms_per_step']} "
               f"| {r['compile_s']} |")
 
     report = {

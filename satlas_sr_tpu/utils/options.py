@@ -59,6 +59,7 @@ def _postprocess_yml_value(value: str) -> Any:
 _FORCE_YML_CREATABLE = {
     "network_g:remat",
     "train:accum_steps",
+    "compute_dtype",
 }
 
 

@@ -183,3 +183,22 @@ def test_tune_failed_candidate_is_recorded_not_fatal(tmp_path, monkeypatch):
     assert not by_batch[2]["ok"] and "OOM" in by_batch[2]["error"]
     assert by_batch[4]["ok"]
     assert rep["best"]["batch"] == 4
+
+
+def test_tune_dtype_axis_unit():
+    """--dtypes sweeps compute_dtype as a candidate axis (round 5) and the
+    recommendation carries it as a force_yml override."""
+    from satlas_sr_tpu.tune import build_candidates, recommend_force_yml
+
+    opt = {"network_g": {"type": "SSR_RRDBNet"}, "train": {}}
+    cands = build_candidates(opt, [16], None, 32,
+                             dtypes=["float32", "bfloat16"])
+    assert [(c["batch"], c["accum"], c["dtype"]) for c in cands] == [
+        (16, 2, "float32"), (16, 2, "bfloat16")]
+    fy = recommend_force_yml(cands[1])
+    assert "compute_dtype=bfloat16" in fy
+    # no dtype axis -> no dtype key, no dtype override (config's own rules)
+    cands = build_candidates(opt, [16], None, None)
+    assert all("dtype" not in c for c in cands)
+    assert not any(s.startswith("compute_dtype")
+                   for s in recommend_force_yml(cands[0]))
