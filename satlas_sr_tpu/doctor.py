@@ -102,15 +102,18 @@ def _check_config(rep: Report, opt: Dict[str, Any], kind: str) -> None:
     if not warnings:
         rep.add(OK, "config", "no unknown keys")
 
-    # Perf hint, not a warning: f32 is the reference-parity default, but
-    # bf16 measures ~1.4x train / ~1.5x inference throughput on v5e at
-    # 32.7 dB output agreement (BENCH_NOTES) — the single biggest lever a
-    # config owner can flip.
+    # Perf hint, not a warning: f32 remains the strict-parity option, but
+    # bf16 measured 1.33x faster through the FULL train CLI at ±0.002 dB
+    # val-PSNR trajectory equivalence over 300 iters on the ESRGAN family
+    # (docs/sweeps/dtype_equiv_r5.json) — the shipped ESRGAN configs now
+    # default to it; f32 configs get the pointer.
     dtype = str(opt.get("compute_dtype", "float32")).lower()
     if kind == "train" and dtype in ("float32", "f32"):
         rep.add(OK, "perf",
-                "compute_dtype: float32 (reference parity) — bfloat16 runs "
-                "~1.4x faster on TPU at 32.7 dB output agreement; retune "
+                "compute_dtype: float32 (strict parity) — bfloat16 measured "
+                "1.33x faster train at ±0.002 dB trajectory equivalence "
+                "(ESRGAN family, docs/sweeps/dtype_equiv_r5.json); verify "
+                "your recipe with scripts/dtype_train_equiv.py and retune "
                 "batch/remat after flipping (python -m satlas_sr_tpu.tune)")
 
     path_opt = opt.get("path") or {}

@@ -88,16 +88,31 @@ def _run_one(dtype, args):
     psnrs = [(r["iter"], r["psnr"]) for r in sorted(
         val_rows, key=lambda r: r.get("iter", 0)) if r.get("psnr") is not None]
 
-    # steady-state step time: median of the console log's per-iter `time:`
-    # column, skipping the first printed row (holds the compile)
+    # Steady-state step time from LOG TIMESTAMPS between consecutive print
+    # rows (median across segments, first segment dropped — it holds the
+    # compile). The per-iter `time:` column is NOT usable here: with async
+    # dispatch the instantaneous host-side iter time measures queue/sync
+    # behavior, not device step time (measured: it reported bf16 6x slower
+    # while wall-clock segments show it 1.4x faster).
+    import datetime
+
     logs = [p for p in os.listdir(exp_dir)
             if p.startswith("train_") and p.endswith(".log")]
-    iter_times = []
+    stamps = []
     for p in logs:
-        with open(os.path.join(exp_dir, p)) as f:
-            iter_times += [float(m.group(1)) for m in re.finditer(
-                r"time \(data\): ([0-9.]+)", f.read())]
-    steady = float(np.median(iter_times[1:])) if len(iter_times) > 1 else None
+        for line in open(os.path.join(exp_dir, p)):
+            m = re.match(r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) INFO: "
+                         r"\[.*iter:\s*([\d,]+),", line)
+            if m:
+                t = datetime.datetime.strptime(m.group(1),
+                                               "%Y-%m-%d %H:%M:%S")
+                stamps.append((int(m.group(2).replace(",", "")), t))
+    stamps.sort()
+    seg = [(stamps[i + 1][1] - stamps[i][1]).total_seconds()
+           / (stamps[i + 1][0] - stamps[i][0])
+           for i in range(len(stamps) - 1)
+           if stamps[i + 1][0] > stamps[i][0]]
+    steady = float(np.median(seg[1:])) if len(seg) > 1 else None
 
     head = [v for _, v in pix[:4]]
     tail = [v for _, v in pix[-4:]]

@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--rps", type=float, action="append", default=None,
                     help="open-loop mode: offered load in requests/s "
                          "(repeat for a latency-vs-RPS curve)")
+    ap.add_argument("--buckets", type=str, default="auto",
+                    help="batch-shape buckets, as in the serve CLI: 'auto' "
+                         "(batch/8 + batch), 'none' (single full-batch "
+                         "shape, the pre-round-5 engine) or comma ints")
     ap.add_argument("--duration", type=float, default=20.0,
                     help="seconds per --rps level")
     args = ap.parse_args()
@@ -133,12 +137,19 @@ def main():
                       "num_block": args.blocks, "num_grow_ch": 32},
         "path": {},
     }
+    if args.buckets == "none":
+        buckets = None
+    elif args.buckets == "auto":
+        buckets = "auto"
+    else:
+        buckets = [int(b) for b in args.buckets.split(",") if b.strip()]
     print("building + warming server (cold compile can take minutes) ...",
           flush=True)
     server, batcher = build_server(opt, host="127.0.0.1", port=0,
                                    max_wait_ms=args.max_wait_ms,
                                    max_queue=4 * args.concurrency,
-                                   timeout_s=300.0)
+                                   timeout_s=300.0, buckets=buckets)
+    print(f"batch buckets: {batcher.buckets}", flush=True)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{server.server_address[1]}/v1/sr"
 
@@ -158,6 +169,7 @@ def main():
 
     if args.rps:
         run_open_loop(args, server, batcher, url, bodies)
+        print(f"batches by bucket: {batcher.bucket_batches}")
         server.shutdown()
         server.server_close()
         batcher.close()

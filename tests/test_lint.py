@@ -195,7 +195,7 @@ def test_doctor_f32_train_perf_hint(capsys):
             "train": {"total_iter": 1}}
     run_doctor(dict(base), check_runtime=False)
     out = capsys.readouterr().out
-    assert "bfloat16 runs" in out and "satlas_sr_tpu.tune" in out
+    assert "bfloat16 measured" in out and "satlas_sr_tpu.tune" in out
 
     run_doctor({**base, "compute_dtype": "bfloat16"}, check_runtime=False)
-    assert "bfloat16 runs" not in capsys.readouterr().out
+    assert "bfloat16 measured" not in capsys.readouterr().out
