@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import threading
 import time
 from collections import deque
@@ -114,6 +115,17 @@ class MicroBatcher:
         # otherwise computes 64 slots to answer 1).
         self.buckets = resolve_buckets(engine, buckets)
         self.bucket_batches = {b: 0 for b in self.buckets}
+        # Load-aware bucket choice: a small dispatch at saturation wastes an
+        # in-flight slot on few requests (measured: mixed 8/64 dispatches at
+        # 60-80 rps cost ~30% p50 vs pure full-batch on the same tunnel —
+        # BENCH_NOTES round-5 serving buckets). The gathered-fill EWMA is the
+        # load signal: the bucket must cover margin x recent fill, not just
+        # this gather, so a brief queue dip under sustained load cannot
+        # downshift the program shape. alpha 0.25 ~= 5-dispatch memory;
+        # margin 1.5 keeps fill-4 traffic on a bucket of 8.
+        self.fill_ewma = 0.0
+        self.fill_alpha = 0.25
+        self.bucket_margin = 1.5
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="sr-batch-dispatch", daemon=True)
         self._fetcher = threading.Thread(
@@ -141,6 +153,16 @@ class MicroBatcher:
         with self._cond:
             return len(self._items)
 
+    def _pick_bucket(self, n_got: int) -> int:
+        """Smallest compiled shape covering BOTH this gather and the recent
+        load (margin x fill EWMA); only the dispatcher thread calls this."""
+        self.fill_ewma += self.fill_alpha * (n_got - self.fill_ewma)
+        want = max(n_got, int(math.ceil(self.fill_ewma * self.bucket_margin)))
+        for b in self.buckets:
+            if b >= want:
+                return b
+        return self.buckets[-1]
+
     def _dispatch_loop(self) -> None:
         bs = self.engine.batch_size
         while True:
@@ -166,7 +188,7 @@ class MicroBatcher:
                     while self._items and len(got) < bs:
                         got.append(self._items.popleft())
             futures = [f for _, f in got]
-            bucket = next(b for b in self.buckets if b >= len(got))
+            bucket = self._pick_bucket(len(got))
             try:
                 stacked = np.stack([x for x, _ in got])
                 if len(self.buckets) == 1:
@@ -292,6 +314,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "queue_depth": batcher.queue_depth(),
                 "batches_by_bucket": {str(k): v for k, v
                                       in batcher.bucket_batches.items()},
+                "fill_ewma": round(batcher.fill_ewma, 2),
             })
             self._send_json(200, snap)
         elif self.path == "/metrics":

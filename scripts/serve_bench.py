@@ -73,6 +73,7 @@ def run_open_loop(args, server, batcher, url, bodies):
                 else:
                     errs += 1
 
+        bucket_before = dict(batcher.bucket_batches)
         workers = max(8, int(4 * rps))  # ~4x expected in-flight at 1 s p99
         with ThreadPoolExecutor(max_workers=workers) as pool:
             start = time.perf_counter()
@@ -85,15 +86,23 @@ def run_open_loop(args, server, batcher, url, bodies):
         q = lambda p: (1000 * lat[min(len(lat) - 1, int(p * len(lat)))]
                        if lat else float("nan"))
         realized = len(lat) / args.duration
-        rows.append((rps, realized, q(0.5), q(0.95), q(0.99), errs, n))
+        # Per-level bucket mix: which compiled shapes this load level ran on
+        # (the policy diagnostic — a high-rps level should be ~pure full
+        # batch, a low-rps one ~pure small bucket).
+        mix = {b: batcher.bucket_batches[b] - bucket_before.get(b, 0)
+               for b in batcher.bucket_batches
+               if batcher.bucket_batches[b] != bucket_before.get(b, 0)}
+        mix_s = " ".join(f"{b}:{c}" for b, c in sorted(mix.items())) or "-"
+        rows.append((rps, realized, q(0.5), q(0.95), q(0.99), errs, n, mix_s))
         print(f"  offered {rps:6.1f} rps -> completed {realized:6.1f} rps, "
               f"p50 {q(0.5):7.1f} ms  p95 {q(0.95):7.1f} ms  "
-              f"p99 {q(0.99):7.1f} ms  errors {errs}/{n}")
-    print("\n| offered rps | completed rps | p50 ms | p95 ms | p99 ms | errors |")
-    print("|---|---|---|---|---|---|")
-    for rps, realized, p50, p95, p99, errs, n in rows:
+              f"p99 {q(0.99):7.1f} ms  errors {errs}/{n}  buckets {mix_s}")
+    print("\n| offered rps | completed rps | p50 ms | p95 ms | p99 ms "
+          "| errors | batches by bucket |")
+    print("|---|---|---|---|---|---|---|")
+    for rps, realized, p50, p95, p99, errs, n, mix_s in rows:
         print(f"| {rps:.0f} | {realized:.1f} | {p50:.0f} | {p95:.0f} "
-              f"| {p99:.0f} | {errs}/{n} |")
+              f"| {p99:.0f} | {errs}/{n} | {mix_s} |")
 
 
 def main():

@@ -504,6 +504,35 @@ def test_microbatcher_bucket_selection():
         mb.close()
 
 
+def test_pick_bucket_load_aware():
+    """The bucket choice must cover the recent load, not just this gather:
+    a brief queue dip under sustained saturation stays on the full batch
+    (small dispatches at saturation waste in-flight slots — measured ~30%
+    p50 cost, BENCH_NOTES round-5 serving buckets), while sustained low
+    traffic decays back to the small bucket."""
+    eng = BucketFakeEngine(batch_size=64)
+    mb = MicroBatcher(eng, (2, 2, 3), max_wait_ms=5.0, depth=1, buckets=[8])
+    try:
+        assert mb.buckets == [8, 64]
+        # cold start: lone request runs the small bucket
+        assert mb._pick_bucket(1) == 8
+        # sustained full-fill load locks onto the full batch
+        for _ in range(10):
+            assert mb._pick_bucket(64) == 64
+        # a one-gather dip does NOT downshift the program shape
+        assert mb._pick_bucket(5) == 64
+        assert mb._pick_bucket(64) == 64
+        # sustained low traffic decays the EWMA back under the margin
+        for _ in range(20):
+            mb._pick_bucket(1)
+        assert mb._pick_bucket(1) == 8
+        # a gather larger than the small bucket always escalates, whatever
+        # the EWMA says
+        assert mb._pick_bucket(33) == 64
+    finally:
+        mb.close()
+
+
 def test_serve_buckets_end_to_end(tmp_path, rng):
     """Real engine, two compiled shapes: a lone request runs the small bucket
     and its HTTP output is identical to the full-batch program's."""
