@@ -106,15 +106,25 @@ def _check_config(rep: Report, opt: Dict[str, Any], kind: str) -> None:
     # bf16 measured 1.33x faster through the FULL train CLI at ±0.002 dB
     # val-PSNR trajectory equivalence over 300 iters on the ESRGAN family
     # (docs/sweeps/dtype_equiv_r5.json) — the shipped ESRGAN configs now
-    # default to it; f32 configs get the pointer.
+    # default to it; f32 configs get the pointer. The L2 family measured
+    # OUT of bar (0.127 dB at 300 iters, docs/sweeps/dtype_equiv_l2_r5.json)
+    # so there the hint states the measured cost instead of recommending.
     dtype = str(opt.get("compute_dtype", "float32")).lower()
     if kind == "train" and dtype in ("float32", "f32"):
-        rep.add(OK, "perf",
-                "compute_dtype: float32 (strict parity) — bfloat16 measured "
-                "1.33x faster train at ±0.002 dB trajectory equivalence "
-                "(ESRGAN family, docs/sweeps/dtype_equiv_r5.json); verify "
-                "your recipe with scripts/dtype_train_equiv.py and retune "
-                "batch/remat after flipping (python -m satlas_sr_tpu.tune)")
+        if str(opt.get("model_type", "")) == "L2Model":
+            rep.add(OK, "perf",
+                    "compute_dtype: float32 — the measured default for the "
+                    "L2 family: bfloat16 is 1.25x faster but drifts 0.127 dB "
+                    "val PSNR over 300 iters, 2.5x the 0.05 dB bar "
+                    "(docs/sweeps/dtype_equiv_l2_r5.json)")
+        else:
+            rep.add(OK, "perf",
+                    "compute_dtype: float32 (strict parity) — bfloat16 "
+                    "measured 1.33x faster train at ±0.002 dB trajectory "
+                    "equivalence (ESRGAN family, "
+                    "docs/sweeps/dtype_equiv_r5.json); verify your recipe "
+                    "with scripts/dtype_train_equiv.py and retune "
+                    "batch/remat after flipping (python -m satlas_sr_tpu.tune)")
 
     path_opt = opt.get("path") or {}
     _check_file(rep, "path.pretrain_network_g",

@@ -37,6 +37,14 @@ class L2Model(BaseModel):
             (opt.get("train") or {}).get("accum_steps", 1) or 1
         ) if opt.get("is_train") else 1
         net_opt = dict(opt["network_g"])
+        # Thread the config's compute dtype into the arch exactly as the
+        # ESRGAN trainer does (esrgan.py g_opt.setdefault("dtype", ...)) —
+        # until round 5 this family silently ignored `compute_dtype`, so a
+        # bfloat16 L2 config trained in float32. Params stay f32 (flax
+        # param_dtype default); `dtype` is the computation dtype only.
+        from ..utils.model_utils import compute_dtype
+
+        net_opt.setdefault("dtype", compute_dtype(opt))
         # YAML blocks carry `revisits`; constructor parity handled by build_arch.
         self.net_g = build_arch(net_opt)
         self.use_3d = True  # SRCNN/HighResNet expect [B, T, H, W, C]

@@ -34,13 +34,22 @@ def _filter_separable_reflect(x: jax.Array, k1d: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     xr = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     xr = jnp.moveaxis(xr, 3, 1).reshape(n * c, h + 2 * pad, w + 2 * pad, 1)
+    # Force true-f32 accumulation whatever the surrounding step's
+    # matmul_precision is. Under the TPU default (bf16 passes) the filtered
+    # E[x^2] carries absolute error ~1e-3 at image magnitudes — LARGER than
+    # SSIM's C2 = 9e-4 — so sigma_x + sigma_y + C2 can cross zero and the
+    # ssim map overflows to inf (observed: L2 trainer forward inf at ~iter
+    # 127, then NaN params). The window is 5-tap separable; HIGHEST costs
+    # nothing measurable here.
     kr = k1d.reshape(k, 1, 1, 1)
     xr = jax.lax.conv_general_dilated(
-        xr, kr, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        xr, kr, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     kc = k1d.reshape(1, k, 1, 1)
     xr = jax.lax.conv_general_dilated(
-        xr, kc, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        xr, kc, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.moveaxis(xr.reshape(n, c, h, w), 1, 3)
 
@@ -63,8 +72,14 @@ def ssim_map(
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sigma_x = _filter_separable_reflect(xf * xf, k1d) - mu_xx
-    sigma_y = _filter_separable_reflect(yf * yf, k1d) - mu_yy
+    # Variances are mathematically >= 0; the E[x^2] - mu^2 form can only go
+    # negative by floating-point cancellation. Clamping guarantees
+    # den >= C1*C2 > 0 for ANY input and ANY conv precision (defense in
+    # depth behind the HIGHEST-precision filter above) — without it a
+    # negative sigma sum can cancel C2 exactly and the map divides by zero.
+    # sigma_xy is a covariance and may be legitimately negative: not clamped.
+    sigma_x = jnp.maximum(_filter_separable_reflect(xf * xf, k1d) - mu_xx, 0.0)
+    sigma_y = jnp.maximum(_filter_separable_reflect(yf * yf, k1d) - mu_yy, 0.0)
     sigma_xy = _filter_separable_reflect(xf * yf, k1d) - mu_xy
     num = (2.0 * mu_xy + c1) * (2.0 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)

@@ -19,8 +19,11 @@ Verdict JSON: {"within_bar": bool, "final_val_psnr_delta_db": ...,
 "speedup": ..., per-dtype sections}. Exit 0 iff both runs completed and
 the final val-PSNR delta is within the bar.
 
-Usage: python scripts/dtype_train_equiv.py [--iters 300]
+Usage: python scripts/dtype_train_equiv.py [--family esrgan|l2] [--iters 300]
        [--workdir /tmp/sr_dtype_equiv] [--bar 0.05] [--out FILE.json]
+
+--family l2 (round 5) runs the SRCNN/HighResNet WorldStrat trainer instead
+(reference ssr/models/ssr_l2_model.py:36-43); its trend key is tot_loss.
 
 Run on the TPU chip for honest timing; equivalence itself is
 device-agnostic. Reference recipe being reproduced:
@@ -45,15 +48,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import train_evidence as tev  # noqa: E402 — shared corpus + config builders
 
 
+# Per-family train-loss key for the trend comparison (the families log
+# different dicts: the GAN trainer's pixel L1 vs the WorldStrat total).
+LOSS_KEYS = {"esrgan": "l_g_pix", "l2": "tot_loss"}
+
+
 def _run_one(dtype, args):
     """One train-CLI run at `dtype`; returns the parsed trajectory section."""
     import yaml
 
-    name = f"dtype_equiv_{dtype}"
+    name = f"dtype_equiv_{args.family}_{dtype}"
     print_freq = max(1, min(50, args.iters // 8))
     val_freq = max(10, min(args.iters // 4, 100))
-    opt = tev._esrgan_opt(args.workdir, args.iters, val_freq=val_freq,
-                          ckpt_freq=10 ** 9, print_freq=print_freq)
+    opt = tev.FAMILIES[args.family](args.workdir, args.iters,
+                                    val_freq=val_freq, ckpt_freq=10 ** 9,
+                                    print_freq=print_freq)
     opt["name"] = name
     opt["compute_dtype"] = dtype
     # matmul_precision stays `default` in both runs (the shipped setting):
@@ -84,7 +93,8 @@ def _run_one(dtype, args):
                 continue
             (val_rows if "val_dataset" in row else train_rows).append(row)
     train_rows.sort(key=lambda r: r.get("iter", 0))
-    pix = [(r["iter"], r["l_g_pix"]) for r in train_rows if "l_g_pix" in r]
+    loss_key = LOSS_KEYS[args.family]
+    pix = [(r["iter"], r[loss_key]) for r in train_rows if loss_key in r]
     psnrs = [(r["iter"], r["psnr"]) for r in sorted(
         val_rows, key=lambda r: r.get("iter", 0)) if r.get("psnr") is not None]
 
@@ -116,20 +126,59 @@ def _run_one(dtype, args):
 
     head = [v for _, v in pix[:4]]
     tail = [v for _, v in pix[-4:]]
+    # A diverged run must fail the verdict, not sail through on a flat val
+    # curve: the l2 family's f32 leg NaN'd at ~iter 130 on this harness and
+    # the first version of this script still said WITHIN BAR (the NaN rows
+    # aren't in val_psnr). Non-finite anywhere in the loss trajectory is
+    # disqualifying on its own.
+    finite = bool(pix) and bool(np.all(np.isfinite([v for _, v in pix])))
     return {
         "wall_seconds": round(wall, 1),
         "steady_iter_seconds": round(steady, 4) if steady else None,
-        "l_g_pix_first": round(float(np.mean(head)), 5) if head else None,
-        "l_g_pix_last": round(float(np.mean(tail)), 5) if tail else None,
-        "l_g_pix_drop_pct": (round(100 * (1 - float(np.mean(tail))
-                                          / float(np.mean(head))), 1)
-                             if head and tail else None),
+        "loss_finite": finite,
+        "loss_key": loss_key,
+        "loss_first": round(float(np.mean(head)), 5) if head else None,
+        "loss_last": round(float(np.mean(tail)), 5) if tail else None,
+        "loss_drop_pct": (round(100 * (1 - float(np.mean(tail))
+                                       / float(np.mean(head))), 1)
+                          if head and tail else None),
         "val_psnr": [{"iter": it, "psnr": round(p, 3)} for it, p in psnrs],
     }
 
 
+def equivalence_verdict(sections, bar):
+    """(ok, final_val_psnr_delta, speedup) from the two per-dtype sections.
+
+    Disqualifying on their own — no delta can rescue them:
+      * an "error" section (the run crashed / produced no logs);
+      * loss_finite false (NaN/inf anywhere in the loss trajectory). A
+        diverged run whose val rows happen to be flat-and-equal MUST fail:
+        the first l2-family artifact this round said WITHIN BAR while its
+        f32 leg had NaN'd at ~iter 130 (the pre-fix SSIM instability) —
+        the NaN rows simply never reach val_psnr.
+    Extracted from main() so the gate itself is unit-testable
+    (tests/test_dtype_equiv_gate.py).
+    """
+    ok = all("error" not in s and s.get("loss_finite")
+             for s in sections.values())
+    delta = speedup = None
+    if ok:
+        f32, bf16 = sections["float32"], sections["bfloat16"]
+        if f32["val_psnr"] and bf16["val_psnr"]:
+            delta = abs(bf16["val_psnr"][-1]["psnr"]
+                        - f32["val_psnr"][-1]["psnr"])
+        if f32["steady_iter_seconds"] and bf16["steady_iter_seconds"]:
+            speedup = f32["steady_iter_seconds"] / bf16["steady_iter_seconds"]
+        ok = delta is not None and delta <= bar
+    return ok, delta, speedup
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=sorted(tev.FAMILIES),
+                    default="esrgan",
+                    help="trainer family to compare (round 5 adds l2 — the "
+                         "SRCNN/HighResNet WorldStrat trainer)")
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--workdir", default="/tmp/sr_dtype_equiv")
     ap.add_argument("--bar", type=float, default=0.05,
@@ -153,18 +202,10 @@ def main():
         sections[dtype] = _run_one(dtype, args)
         print(json.dumps(sections[dtype], indent=2))
 
-    ok = all("error" not in s for s in sections.values())
-    delta = speedup = None
-    if ok:
-        f32, bf16 = sections["float32"], sections["bfloat16"]
-        if f32["val_psnr"] and bf16["val_psnr"]:
-            delta = abs(bf16["val_psnr"][-1]["psnr"]
-                        - f32["val_psnr"][-1]["psnr"])
-        if f32["steady_iter_seconds"] and bf16["steady_iter_seconds"]:
-            speedup = f32["steady_iter_seconds"] / bf16["steady_iter_seconds"]
-        ok = delta is not None and delta <= args.bar
+    ok, delta, speedup = equivalence_verdict(sections, args.bar)
 
     verdict = {
+        "family": args.family,
         "within_bar": bool(ok),
         "bar_db": args.bar,
         "iters": args.iters,

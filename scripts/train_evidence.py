@@ -210,7 +210,15 @@ def _l2_opt(workdir, iters, val_freq, ckpt_freq, print_freq):
                  "param_key_d": "params", "strict_load_d": True,
                  "resume_state": None},
         "train": {
-            "optim_g": {"type": "Adam", "lr": 1.0e-4, "weight_decay": 0,
+            # 2e-3, NOT the shipped recipe's 1e-4: this is a learnability
+            # GATE, and the gate needs measurable val-PSNR motion within a
+            # few hundred iters. Measured on chip (round 5): at 1e-4 this
+            # family's val PSNR is flat (~5.63 dB) for 300 iters — the net's
+            # output scale grows from ~1e-3 toward the target's ~0.5 at
+            # ~lr/step, so nothing moves inside the gate's budget; the
+            # convergence tests (tests/test_convergence.py) use 2e-3 for the
+            # same reason. The shipped HighResNet recipe keeps its own lr.
+            "optim_g": {"type": "Adam", "lr": 2.0e-3, "weight_decay": 0,
                         "betas": [0.9, 0.99]},
             "scheduler": {"type": "MultiStepLR", "milestones": [400000],
                           "gamma": 0.5},

@@ -190,8 +190,11 @@ def test_parse_options_prints_lint_warnings(tmp_path, capsys):
 def test_doctor_f32_train_perf_hint(capsys):
     """The doctor surfaces the bf16 lever on f32 train configs (an OK-level
     hint, never a warning — f32 is the legitimate parity default) and stays
-    quiet once the config already runs bfloat16."""
-    base = {"name": "x", "model_type": "L2Model", "scale": 4,
+    quiet once the config already runs bfloat16. Round 5: the hint is
+    family-aware — the L2 family measured OUT of the 0.05 dB bar
+    (docs/sweeps/dtype_equiv_l2_r5.json), so there the doctor states the
+    measured drift instead of recommending the flip."""
+    base = {"name": "x", "model_type": "SSRESRGANModel", "scale": 4,
             "train": {"total_iter": 1}}
     run_doctor(dict(base), check_runtime=False)
     out = capsys.readouterr().out
@@ -199,3 +202,7 @@ def test_doctor_f32_train_perf_hint(capsys):
 
     run_doctor({**base, "compute_dtype": "bfloat16"}, check_runtime=False)
     assert "bfloat16 measured" not in capsys.readouterr().out
+
+    run_doctor({**base, "model_type": "L2Model"}, check_runtime=False)
+    out = capsys.readouterr().out
+    assert "drifts 0.127 dB" in out and "bfloat16 measured" not in out

@@ -4,6 +4,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from satlas_sr_tpu.ops import (
@@ -100,6 +101,54 @@ def test_ssim_identity_and_range(rng):
     y = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
     loss_diff = np.asarray(ssim_loss(x, y)).mean()
     assert 0.0 < loss_diff <= 1.0
+
+
+def test_ssim_stable_under_lowprec_filter(monkeypatch, rng):
+    """SSIM must stay finite (fwd AND bwd) when its Gaussian-filter convs
+    run at reduced precision — the TPU `matmul_precision: default` regime.
+
+    Root-caused round 5: with bf16-accumulated filters, E[y^2] carries
+    absolute error ~1e-3 > C2 = 9e-4, so sigma_x + sigma_y + C2 crossed
+    zero in the L2 trainer and the ssim map went inf at ~iter 127 (then
+    inf-cotangent x dropout-mask-0 = NaN params, every leaf). The fix is
+    (a) HIGHEST-precision filters and (b) clamping the variances at 0 so
+    den >= C1*C2 for any input and any conv precision. This test pins (b)
+    by simulating the bf16 filter rounding around the fixed implementation."""
+    from satlas_sr_tpu.ops import ssim as S
+
+    orig = S._filter_separable_reflect
+    monkeypatch.setattr(
+        S, "_filter_separable_reflect",
+        lambda x, k: orig(x, k).astype(jnp.bfloat16).astype(jnp.float32))
+
+    # Smooth, locally-constant-ish target like the synthetic corpus; tiny
+    # near-zero prediction like the L2 net's early output — the exact
+    # regime that tripped the inf on chip.
+    yy = jnp.linspace(0.1, 0.9, 64)
+    y = jnp.broadcast_to(yy[None, :, None, None], (2, 64, 64, 3))
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)) * 0.01
+
+    m = S.ssim_map(x, y, window_size=5)
+    m_np = np.asarray(m)
+    assert np.isfinite(m_np).all(), "ssim map not finite under lowprec filter"
+    assert np.abs(m_np).max() < 1e5
+
+    g = jax.grad(lambda a: S.ssim_loss(a, y, window_size=5).mean())(x)
+    g_np = np.asarray(g)
+    assert np.isfinite(g_np).all(), "ssim grad not finite under lowprec filter"
+
+
+def test_ssim_variances_clamped():
+    """Large-magnitude inputs make E[x^2] - mu^2 pure cancellation noise
+    (error ~ C^2 * eps > C2 for C ~ 300) — the clamp must keep the map
+    finite and the denominator away from zero even then."""
+    from satlas_sr_tpu.ops.ssim import ssim_map
+
+    x = jnp.full((1, 32, 32, 1), 317.123, jnp.float32)
+    m = np.asarray(ssim_map(x, x, window_size=5))
+    assert np.isfinite(m).all()
+    g = jax.grad(lambda a: jnp.mean(ssim_map(a, x)))(x)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_usm_sharp_properties(rng):

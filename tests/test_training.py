@@ -240,6 +240,63 @@ def test_l2_train_step(tmp_path, rng):
     assert out.shape == (2, 128, 128, 3) and out.dtype == np.uint8
 
 
+def test_l2_compute_dtype_honored(tmp_path, rng):
+    """`compute_dtype` must reach the L2 arch exactly as it does the ESRGAN
+    one (esrgan.py threads it via g_opt dtype) — until round 5 this family
+    silently trained float32 whatever the config said."""
+    import jax
+    import jax.numpy as jnp
+
+    from satlas_sr_tpu.models import build_model
+
+    s2, naip = _make_tree(tmp_path, rng)
+
+    def build(dtype_str):
+        opt = _base_opt(tmp_path, s2, naip, f"srcnn_dtype_{dtype_str}")
+        opt["datasets"]["train"]["use_3d"] = True
+        opt.update(
+            {
+                "model_type": "L2Model",
+                "compute_dtype": dtype_str,
+                "network_g": {"type": "SRCNN", "in_channels": 3,
+                              "mask_channels": 0, "revisits": 2,
+                              "hidden_channels": 16, "out_channels": 3,
+                              "kernel_size": 3, "residual_layers": 1,
+                              "output_size": 128, "zoom_factor": 4,
+                              "sr_kernel_size": 1},
+                "train": {
+                    "optim_g": {"type": "Adam", "lr": 1e-4, "weight_decay": 0,
+                                "betas": [0.9, 0.99]},
+                    "scheduler": {"type": "MultiStepLR",
+                                  "milestones": [400000], "gamma": 0.5},
+                    "total_iter": 2,
+                    "warmup_iter": -1,
+                },
+            }
+        )
+        return build_model(opt)
+
+    m32, mbf = build("float32"), build("bfloat16")
+    assert m32.net_g.dtype == jnp.float32
+    assert mbf.net_g.dtype == jnp.bfloat16
+    # params stay f32 either way (flax param_dtype default)
+    leaf = jax.tree_util.tree_leaves(mbf.state["params"])[0]
+    assert leaf.dtype == jnp.float32
+
+    batch = {
+        "lr": (rng.rand(2, 2, 32, 32, 3) * 255).astype(np.uint8),
+        "hr": (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8),
+    }
+    logs = mbf.train_iter(batch, 1)
+    for key in ("psnr_loss", "mse", "mae", "ssim", "tot_loss"):
+        assert key in logs and np.isfinite(logs[key])
+    # same init seed -> same params: the bf16 forward must agree with f32
+    # to bf16 resolution (identical uint8 outputs would be too strict)
+    o32 = m32.eval_outputs(batch).astype(np.float64)
+    obf = mbf.eval_outputs(batch).astype(np.float64)
+    assert np.mean(np.abs(o32 - obf)) < 2.0
+
+
 def test_train_cli_end_to_end(tmp_path, rng):
     """Full pipeline through the CLI with validation + checkpoints."""
     from satlas_sr_tpu.train import train_pipeline
