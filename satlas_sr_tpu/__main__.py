@@ -16,6 +16,7 @@ CLIS = [
     ("scan_data", "pre-scan a dataset tree with the trainer's predicates"),
     ("ckpt", "inspect/verify any checkpoint file"),
     ("fetch", "download published datasets/weights (resumable)"),
+    ("prepare", "raw rasters -> S2-NAIP tree (reproject recipe + chipper)"),
     ("profile", "device-trace a config's hot program + per-op summary"),
     ("acceptance", "one-command PSNR-parity verdict vs a released checkpoint"),
     ("tune", "measure + rank (batch, remat, accum) throughput for a config"),
