@@ -600,13 +600,25 @@ def run_acceptance(args) -> Dict[str, Any]:
             clip_model=args.clip_model, clip_weights=args.clip_weights,
             clipscore_tol=args.clipscore_tol))
         if not args.skip_bf16:
-            prod = stage("bf16_engine", lambda: _production_engine_eval(
-                state, info, got["dataset_root"], limit=args.limit,
-                batch_size=args.batch_size, psnr_tol=args.psnr_tol,
-                f32_eval_means=ev["metrics"]["jax"]))
+            # Informational by CONTRACT, including on error: a host where
+            # the extra bf16 engines can't build (HBM headroom, platform
+            # without bf16) must not fail an acceptance whose real gates
+            # (forward + evaluate) already passed — record the error and
+            # fall back to naming the f32 path as the at-parity engine.
+            try:
+                prod = stage("bf16_engine", lambda: _production_engine_eval(
+                    state, info, got["dataset_root"], limit=args.limit,
+                    batch_size=args.batch_size, psnr_tol=args.psnr_tol,
+                    f32_eval_means=ev["metrics"]["jax"]))
+            except SystemExit:
+                if verdict.get("blocked"):
+                    raise  # not this leg's error class — propagate exit 3
+                prod = None
+                verdict["stages"]["bf16_engine"]["informational"] = True
             # surfaced at top level: the throughput claim the judge should
             # quote is the one this field selects
-            verdict["at_parity_engine"] = prod["at_parity_engine"]
+            verdict["at_parity_engine"] = (
+                prod["at_parity_engine"] if prod else "float32_highest")
         verdict["pass"] = True
         return verdict
     finally:

@@ -50,13 +50,22 @@ def load_infer_variables(opt: dict, model, n_lr_images: int, use_3d: bool):
     return model.init(jax.random.PRNGKey(0), example)
 
 
-def corpus_fingerprint(pngs, data_dir: str) -> dict:
-    """Sorted relative-path corpus enumeration + count + sha256 over it."""
+def _paths_digest(rel_paths) -> str:
     import hashlib
 
+    return hashlib.sha256("\n".join(rel_paths).encode()).hexdigest()
+
+
+def corpus_fingerprint(pngs, data_dir: str) -> dict:
+    """Sorted relative-path corpus count + sha256 over the enumeration.
+
+    Only (count, digest) persist — at 1M chips a stored path list would be
+    a multi-MB JSON rewritten and re-compared every resume. The tail-append
+    check needs no stored paths either: hashing the CURRENT corpus's first
+    prev_count paths reproduces the old digest iff every previous path kept
+    its sorted position (guard_corpus_manifest)."""
     rel = [os.path.relpath(p, data_dir) for p in pngs]
-    digest = hashlib.sha256("\n".join(rel).encode()).hexdigest()
-    return {"count": len(rel), "sha256": digest, "paths": rel}
+    return {"count": len(rel), "sha256": _paths_digest(rel), "_rel": rel}
 
 
 def guard_corpus_manifest(save_path: str, pngs, data_dir: str,
@@ -78,6 +87,7 @@ def guard_corpus_manifest(save_path: str, pngs, data_dir: str,
 
     man_path = os.path.join(save_path, ".ssr_corpus_manifest.json")
     fp = corpus_fingerprint(pngs, data_dir)
+    rel = fp.pop("_rel")  # never persisted — the manifest stays O(1)
 
     def _write():
         if rank != 0:
@@ -91,16 +101,18 @@ def guard_corpus_manifest(save_path: str, pngs, data_dir: str,
     if os.path.exists(man_path) and not force:
         with open(man_path) as f:
             prev = json.load(f)
-        if (prev.get("count"), prev.get("sha256")) == (fp["count"], fp["sha256"]):
+        prev_n = prev.get("count")
+        if (prev_n, prev.get("sha256")) == (fp["count"], fp["sha256"]):
             return
         # Pure tail-append (every previous path at the same sorted position,
         # new files only after them): existing indices all still map to the
         # same inputs, so a growing corpus (cron-style re-drives) is safe —
-        # accept and extend the manifest.
-        prev_paths = prev.get("paths")
-        if (prev_paths is not None and len(prev_paths) <= fp["count"]
-                and fp["paths"][: len(prev_paths)] == prev_paths):
-            print(f"skip_existing: corpus grew {len(prev_paths)} -> "
+        # accept and extend the manifest. Detected without stored paths:
+        # the current corpus's first prev_n paths hash to the old digest
+        # iff the previous enumeration is an exact prefix of this one.
+        if (isinstance(prev_n, int) and prev_n <= fp["count"]
+                and _paths_digest(rel[:prev_n]) == prev.get("sha256")):
+            print(f"skip_existing: corpus grew {prev_n} -> "
                   f"{fp['count']} files (append-only at the tail of the sort "
                   "order — existing indices unchanged); manifest extended.")
             _write()

@@ -97,7 +97,9 @@ def normalize_band(arr: np.ndarray, band: str) -> np.ndarray:
                 f"band '{band}' is 8-bit passthrough; got {a.dtype} values "
                 f"in [{a.min()}, {a.max()}] — reproject should not rescale "
                 "TCI/NAIP")
-        return a.astype(np.uint8)
+        # round, don't truncate: bilinear reprojection delivers floats like
+        # 254.9 that truncation would bias down a full DN
+        return np.round(a).astype(np.uint8)
     a = np.clip(np.asarray(arr).astype(np.float64) / 8160.0, 0.0, 1.0)
     return np.round(a * 255.0).astype(np.uint8)
 
@@ -180,9 +182,10 @@ def covered_tiles(origin: Tuple[float, float], shape_hw: Tuple[int, int],
                 raise SystemExit(
                     f"prepare: raster is not aligned to the tile grid "
                     f"(tile {col}_{row} lands at fractional pixel "
-                    f"({px:.3f}, {py:.3f})). Reproject onto the exact grid "
-                    f"(origin a multiple of {TILE_M:.6f} m, res "
-                    f"{res:.9f} m/px).")
+                    f"({px:.3f}, {py:.3f})). The origin must sit on the "
+                    f"{res:.9f} m/px pixel grid anchored at "
+                    f"(-{WEB_MERCATOR_E}, +{WEB_MERCATOR_E}) — `prepare "
+                    "reproject` snaps its output there for you.")
             out.append((col, row, ipx, ipy))
             col += 1
         row += 1
@@ -258,14 +261,44 @@ def chip_raster(arr: np.ndarray, origin: Tuple[float, float], res: float,
     return stats
 
 
+def snap_to_grid(ox: float, oy: float, width: int, height: int,
+                 res: float) -> Tuple[float, float, int, int]:
+    """Snap a north-up raster window to the dataset pixel grid.
+
+    calculate_default_transform anchors the output at the source's
+    reprojected bounds — an arbitrary origin that `chip` would refuse
+    (covered_tiles requires pixel edges on the grid anchored at (-E, +E)).
+    Returns (origin_x, origin_y, width, height) with the origin moved west/
+    north by < 1 px onto the grid and the window grown to keep coverage,
+    so reproject -> chip composes by construction (the equivalent of
+    gdalwarp -tap).
+    """
+    # 1e-6 px epsilon: pixel indices here reach ~4e6, where double rounding
+    # alone is ~1e-9 px — an already-aligned origin must be a fixed point,
+    # and covered_tiles tolerates 0.01 px, so 1e-6 is safely in between
+    sx = -WEB_MERCATOR_E + np.floor((ox + WEB_MERCATOR_E) / res + 1e-6) * res
+    sy = WEB_MERCATOR_E - np.floor((WEB_MERCATOR_E - oy) / res + 1e-6) * res
+    w = int(np.ceil((ox + width * res - sx) / res - 1e-6))
+    h = int(np.ceil((sy - (oy - height * res)) / res - 1e-6))
+    return float(sx), float(sy), w, h
+
+
 _REPROJECT_RECIPE = """\
+import numpy as np
 import rasterio
+from rasterio.transform import Affine
 from rasterio.warp import calculate_default_transform, reproject, Resampling
 
+E = 20037508.342789244  # snap to the S2-NAIP pixel grid anchored at (-E, +E)
 with rasterio.open(SRC) as src:
     transform, width, height = calculate_default_transform(
         src.crs, 'EPSG:3857', src.width, src.height, *src.bounds,
         resolution=(RES, RES))
+    sx = -E + np.floor((transform.c + E) / RES + 1e-6) * RES
+    sy = E - np.floor((E - transform.f) / RES + 1e-6) * RES
+    width = int(np.ceil((transform.c + width * RES - sx) / RES - 1e-6))
+    height = int(np.ceil((sy - (transform.f - height * RES)) / RES - 1e-6))
+    transform = Affine(RES, 0.0, sx, 0.0, -RES, sy)
     meta = src.meta.copy()
     meta.update(crs='EPSG:3857', transform=transform,
                 width=width, height=height, driver='GTiff')
@@ -296,10 +329,17 @@ def reproject_raster(src_path: str, dst_path: str, res: float) -> None:
             "environment (it is not a framework dependency). Run this "
             f"equivalent recipe where rasterio exists:\n\n{recipe}\n\n"
             "then feed the output back to `prepare chip`.")
+    from rasterio.transform import Affine  # type: ignore
+
     with rasterio.open(src_path) as src:
         transform, width, height = calculate_default_transform(
             src.crs, "EPSG:3857", src.width, src.height, *src.bounds,
             resolution=(res, res))
+        # snap onto the dataset pixel grid so `prepare chip` accepts the
+        # output (covered_tiles alignment requirement)
+        sx, sy, width, height = snap_to_grid(
+            float(transform.c), float(transform.f), width, height, res)
+        transform = Affine(res, 0.0, sx, 0.0, -res, sy)
         meta = src.meta.copy()
         meta.update(crs="EPSG:3857", transform=transform,
                     width=width, height=height, driver="GTiff")

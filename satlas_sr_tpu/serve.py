@@ -61,6 +61,18 @@ class QueueFullError(RuntimeError):
     """Raised by MicroBatcher.submit when the request queue is at its limit."""
 
 
+def parse_buckets_arg(spec: str):
+    """CLI `--buckets` string -> resolve_buckets input ('none' -> single
+    full-batch shape, 'auto' -> one small bucket, else comma ints). Shared
+    by the serve daemon and scripts/serve_bench.py so the spec grammar
+    cannot drift between them."""
+    if spec == "none":
+        return None
+    if spec == "auto":
+        return "auto"
+    return [int(b) for b in spec.split(",") if b.strip()]
+
+
 def resolve_buckets(engine, buckets) -> list:
     """Sorted compiled batch shapes for dispatch-time bucket selection.
 
@@ -191,12 +203,7 @@ class MicroBatcher:
             bucket = self._pick_bucket(len(got))
             try:
                 stacked = np.stack([x for x, _ in got])
-                if len(self.buckets) == 1:
-                    # single-shape engines (and test fakes) keep the
-                    # bucket-free dispatch signature
-                    handle = self.engine.dispatch(stacked)
-                else:
-                    handle = self.engine.dispatch(stacked, bucket=bucket)
+                handle = self.engine.dispatch(stacked, bucket=bucket)
             except Exception as exc:  # noqa: BLE001 - propagate to callers
                 for f in futures:
                     f.set_exception(exc)
@@ -638,12 +645,7 @@ def main(argv=None):
     from .utils.lint import report_lint
 
     report_lint(opt, "infer")
-    if args.buckets == "none":
-        buckets = None
-    elif args.buckets == "auto":
-        buckets = "auto"
-    else:
-        buckets = [int(b) for b in args.buckets.split(",") if b.strip()]
+    buckets = parse_buckets_arg(args.buckets)
     server, batcher = build_server(
         opt, host=args.host, port=args.port, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, max_queue=args.queue_limit,

@@ -83,20 +83,14 @@ def _run_one(dtype, args):
     if rc != 0:
         return {"error": f"train CLI rc={rc}", "wall_seconds": round(wall, 1)}
 
-    # trajectories from metrics.jsonl
-    train_rows, val_rows = [], []
-    with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
-        for line in f:
-            try:
-                row = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            (val_rows if "val_dataset" in row else train_rows).append(row)
-    train_rows.sort(key=lambda r: r.get("iter", 0))
+    # trajectories from metrics.jsonl — same parse as train_evidence's gate
+    # (val rows deduped by iter) so the two gates cannot drift
+    train_rows, val_rows = tev.load_metrics_rows(
+        os.path.join(exp_dir, "metrics.jsonl"))
     loss_key = LOSS_KEYS[args.family]
     pix = [(r["iter"], r[loss_key]) for r in train_rows if loss_key in r]
-    psnrs = [(r["iter"], r["psnr"]) for r in sorted(
-        val_rows, key=lambda r: r.get("iter", 0)) if r.get("psnr") is not None]
+    psnrs = [(r["iter"], r["psnr"]) for r in val_rows
+             if r.get("psnr") is not None]
 
     # Steady-state step time from LOG TIMESTAMPS between consecutive print
     # rows (median across segments, first segment dropped — it holds the

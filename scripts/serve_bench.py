@@ -146,12 +146,9 @@ def main():
                       "num_block": args.blocks, "num_grow_ch": 32},
         "path": {},
     }
-    if args.buckets == "none":
-        buckets = None
-    elif args.buckets == "auto":
-        buckets = "auto"
-    else:
-        buckets = [int(b) for b in args.buckets.split(",") if b.strip()]
+    from satlas_sr_tpu.serve import parse_buckets_arg
+
+    buckets = parse_buckets_arg(args.buckets)
     print("building + warming server (cold compile can take minutes) ...",
           flush=True)
     server, batcher = build_server(opt, host="127.0.0.1", port=0,

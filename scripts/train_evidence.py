@@ -259,6 +259,15 @@ def _launch(yml):
 
 
 def _last_iter(metrics_path):
+    """Highest iter any metrics.jsonl row (train OR validation) reports.
+
+    Validation rows MUST count: train rows appear only every print_freq
+    iters, so a run whose total_iter is not a print_freq multiple logs its
+    last train row short of total_iter (e.g. 296 for print_freq 37,
+    total_iter 300) while the end-of-training validation row carries the
+    true final iter — counting train rows alone failed a COMPLETED resume
+    leg (the round-5 first artifact's resumed_ok=false on both families).
+    """
     last = 0
     try:
         with open(metrics_path) as f:
@@ -267,11 +276,32 @@ def _last_iter(metrics_path):
                     row = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if "val_dataset" not in row and isinstance(row.get("iter"), int):
+                if isinstance(row.get("iter"), int):
                     last = max(last, row["iter"])
     except FileNotFoundError:
         pass
     return last
+
+
+def load_metrics_rows(metrics_path):
+    """metrics.jsonl -> (train_rows sorted by iter, val_rows deduped by iter
+    keeping the LAST — a resume leg re-runs its final validation and appends
+    a duplicate row). Shared with scripts/dtype_train_equiv.py so the two
+    gates parse trajectories identically."""
+    train_rows, val_rows = [], []
+    with open(metrics_path) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            (val_rows if "val_dataset" in row else train_rows).append(row)
+    train_rows.sort(key=lambda r: r.get("iter", 0))
+    by_iter = {}
+    for r in val_rows:
+        if isinstance(r.get("iter"), int):
+            by_iter[r["iter"]] = r
+    return train_rows, [by_iter[it] for it in sorted(by_iter)]
 
 
 def _psnr_gate(psnrs, margin):
@@ -339,24 +369,10 @@ def run_family(family, args):
         print(f"[{family}] train CLI failed rc={rc}")
         return {"pass": False, "error": f"train CLI rc={rc}"}, False
 
-    # ---- summarize + assert trends
-    train_rows, val_rows = [], []
-    with open(metrics) as f:
-        for line in f:
-            try:
-                row = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            (val_rows if "val_dataset" in row else train_rows).append(row)
-    train_rows.sort(key=lambda r: r.get("iter", 0))
-    # Dedupe val rows by iter, keeping the LAST (the resume leg re-runs the
-    # final validation and appends a duplicate row — round-4 artifact
-    # carried a doubled iter-300 entry).
-    by_iter = {}
-    for r in val_rows:
-        if isinstance(r.get("iter"), int):
-            by_iter[r["iter"]] = r
-    val_rows = [by_iter[it] for it in sorted(by_iter)]
+    # ---- summarize + assert trends (round-4 artifact carried a doubled
+    # iter-300 val entry from the resume leg's re-validation — the shared
+    # loader dedupes by iter, keeping the last)
+    train_rows, val_rows = load_metrics_rows(metrics)
 
     # train-loss key differs per family: GAN logs l_g_pix, L2 logs tot_loss
     loss_key = "l_g_pix" if family == "esrgan" else "tot_loss"
@@ -382,6 +398,13 @@ def run_family(family, args):
     if psnr_ok is False:
         print(f"FAIL: val PSNR rose <{args.psnr_margin} dB "
               f"(pointwise {rise:+.3f}, fit {fit_rise:+.3f})")
+        ok = False
+    elif psnr_ok is None:
+        # <2 val points is a broken validation pipeline, not a pass: the
+        # gate must never silently skip its PSNR leg (same class as
+        # dtype_train_equiv's missing-val-rows disqualification)
+        print(f"FAIL: <2 val PSNR points reached metrics.jsonl "
+              f"({len(psnrs)}) — validation did not run/record")
         ok = False
     if family == "esrgan" and not (
             d_real and d_fake and max(map(abs, d_real + d_fake)) < 50):

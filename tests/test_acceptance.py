@@ -141,6 +141,30 @@ def test_acceptance_local_paths_no_network(tmp_path, artifacts):
     assert verdict["stages"]["fetch"]["weights_path"] == str(artifacts["pth"])
 
 
+def test_acceptance_bf16_leg_error_is_informational(tmp_path, artifacts,
+                                                    monkeypatch):
+    """The bf16 leg is informational BY CONTRACT, including on error: a host
+    where the extra bf16 engines can't build (HBM headroom, no-bf16
+    platform) must not fail an acceptance whose real gates passed — the
+    error is recorded and the f32 path is named at-parity."""
+    def _boom(*a, **k):
+        raise RuntimeError("no HBM for a second engine")
+
+    monkeypatch.setattr(acceptance, "_production_engine_eval", _boom)
+    out = tmp_path / "v.json"
+    rc = acceptance.main([
+        "--weights", str(artifacts["pth"]), "--data", str(artifacts["tree"]),
+        "--workdir", str(tmp_path / "ws"), "--out", str(out),
+        "--limit", "2", "--batch-size", "2"])
+    assert rc == 0
+    verdict = json.loads(out.read_text())
+    assert verdict["pass"] is True
+    leg = verdict["stages"]["bf16_engine"]
+    assert leg["ok"] is False and leg["informational"] is True
+    assert "no HBM" in leg["error"]
+    assert verdict["at_parity_engine"] == "float32_highest"
+
+
 def test_acceptance_parity_failure_exits_2(tmp_path, artifacts):
     """An impossible forward tolerance must produce FAIL + rc 2 — proving the
     gate actually gates (it is not a rubber stamp)."""

@@ -129,6 +129,35 @@ def test_wrong_resolution_refused(tmp_path, rng):
                     str(tmp_path), "s2")
 
 
+def test_snap_to_grid_makes_reproject_chippable():
+    """calculate_default_transform anchors at arbitrary source bounds;
+    snap_to_grid must move the window onto the dataset pixel grid (west/
+    north by < 1 px, coverage kept) so reproject -> chip composes."""
+    from satlas_sr_tpu.prepare import snap_to_grid
+
+    ox, oy = tile_origin(1000, 2000)
+    # arbitrary misaligned origin strictly inside tile (999, 1999)'s last px
+    mx, my = ox - 0.37 * S2_RES, oy + 0.61 * S2_RES
+    sx, sy, w, h = snap_to_grid(mx, my, 64, 64, S2_RES)
+    # snapped west/north onto the grid by < 1 px
+    assert sx <= mx and sy >= my
+    assert mx - sx < S2_RES and sy - my < S2_RES
+    # grid-aligned: covered_tiles accepts it (no SystemExit), full coverage
+    tiles = covered_tiles((sx, sy), (h, w), S2_RES)
+    assert len(tiles) >= 1
+    assert (sx + w * S2_RES) >= (mx + 64 * S2_RES) - 1e-6
+    assert (sy - h * S2_RES) <= (my - 64 * S2_RES) + 1e-6
+    # an already-aligned window is a fixed point
+    assert snap_to_grid(ox, oy, 96, 64, S2_RES) == (ox, oy, 96, 64)
+
+
+def test_normalize_band_rounds_float_passthrough():
+    # bilinear reprojection delivers floats like 254.9; truncation would
+    # bias a full DN down
+    out = normalize_band(np.array([[254.9, 0.4]], np.float64), "tci")
+    assert out.tolist() == [[255, 0]]
+
+
 @pytest.mark.skipif(importlib.util.find_spec("rasterio") is not None,
                     reason="rasterio installed; refusal path not reachable")
 def test_reproject_refuses_loudly_without_rasterio(tmp_path):

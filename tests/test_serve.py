@@ -204,7 +204,9 @@ class FakeEngine:
         self.gate.set()
         self.fail_next = False
 
-    def dispatch(self, batch):
+    def dispatch(self, batch, bucket=None):
+        # bucket= is part of the engine contract (MicroBatcher always
+        # passes it); single-shape fakes simply ignore it
         self.gate.wait(timeout=30)
         if self.fail_next:
             self.fail_next = False

@@ -11,7 +11,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts"))
 
-from train_evidence import _psnr_gate  # noqa: E402
+from train_evidence import _last_iter, _psnr_gate  # noqa: E402
 
 
 def test_jitter_rise_fails():
@@ -42,3 +42,18 @@ def test_decline_fails_both_ways():
 def test_too_few_points_is_inconclusive():
     assert _psnr_gate([(100, 20.0)], 0.05) == (None, None, None)
     assert _psnr_gate([], 0.05) == (None, None, None)
+
+
+def test_last_iter_counts_validation_rows(tmp_path):
+    """A completed run whose total_iter is not a print_freq multiple logs
+    its final iter ONLY in the end-of-training validation row (train rows
+    stop at the last print_freq multiple, e.g. 296 for freq 37 / total 300).
+    Counting train rows alone failed a completed resume leg — the round-5
+    first artifact's resumed_ok=false on both families."""
+    p = tmp_path / "metrics.jsonl"
+    p.write_text(
+        '{"iter": 296, "l_g_pix": 0.1}\n'
+        "not json\n"
+        '{"iter": 300, "val_dataset": "validation", "psnr": 20.0}\n')
+    assert _last_iter(str(p)) == 300
+    assert _last_iter(str(tmp_path / "missing.jsonl")) == 0
