@@ -12,6 +12,12 @@ amortizes the per-host backend compile of the deserialized module.
 Artifact (`.ssrx`) = a zip of:
   meta.json            model/config/shape/platform metadata (human-readable)
   module.jaxexport     jax.export serialization (StableHLO + calling convention)
+  module_b{N}.jaxexport  optional extra fixed-batch programs (`--buckets`):
+                       the serving daemon's batch-shape buckets (serve.py)
+                       shipped pre-lowered, so an AOT-backed daemon keeps its
+                       low-latency small-batch dispatch instead of degrading
+                       to the single full-batch shape. Older readers ignore
+                       the extra entries (format stays ssrx-v1).
 
 TPU-native notes: the exported module is platform-tagged — the default export
 targets BOTH 'tpu' and 'cpu' so one artifact serves the fleet and local
@@ -38,6 +44,7 @@ import numpy as np
 ARTIFACT_FORMAT = "ssrx-v1"
 _META_NAME = "meta.json"
 _MODULE_NAME = "module.jaxexport"
+_MODULE_NAME_BUCKET = "module_b{}.jaxexport"
 
 
 def export_artifact(
@@ -48,6 +55,7 @@ def export_artifact(
     hw: int = 32,
     platforms: Sequence[str] = ("tpu", "cpu"),
     check: bool = False,
+    buckets: Optional[Sequence[int]] = None,
 ) -> Dict[str, Any]:
     """Lower the engine program for `opt` and write a `.ssrx` artifact.
 
@@ -55,6 +63,10 @@ def export_artifact(
     dimension stays symbolic; every concrete batch size works, each new size
     pays one backend compile at load time). `hw` sets the square input window
     (32 = the chunk/serving shape; e.g. 512 exports a whole-tile program).
+    `buckets` additionally lowers one program per extra batch shape (deduped,
+    capped at the full batch) so the serving daemon's bucket policy
+    (serve.py, round-5) works AOT — fixed-batch artifacts otherwise carry
+    exactly one shape and shallow queues pay the full padded batch.
     Returns the artifact metadata dict.
     """
     import jax
@@ -96,6 +108,22 @@ def export_artifact(
     exported = jax_export.export(fn, platforms=tuple(platforms))(x_spec)
     payload = exported.serialize()
 
+    if buckets and symbolic_batch:
+        raise ValueError(
+            "--buckets only applies to fixed-batch exports; a symbolic-batch "
+            "artifact already serves any batch size (one compile per shape)")
+    bucket_sizes = []
+    bucket_payloads: Dict[int, bytes] = {}
+    if buckets and not symbolic_batch:
+        bucket_sizes = sorted(
+            {engine.round_bucket(int(b)) for b in buckets} | {engine.batch_size})
+        for b in bucket_sizes:
+            if b == engine.batch_size:
+                continue  # the primary module already carries this shape
+            spec_b = jax.ShapeDtypeStruct((b,) + dims, jnp.uint8)
+            exported_b = jax_export.export(fn, platforms=tuple(platforms))(spec_b)
+            bucket_payloads[b] = exported_b.serialize()
+
     meta: Dict[str, Any] = {
         "format": ARTIFACT_FORMAT,
         "model_type": opt["network_g"]["type"],
@@ -115,6 +143,8 @@ def export_artifact(
         "calling_convention": exported.calling_convention_version,
         "weights": opt.get("path", {}).get("pretrain_network_g") or "(seeded init)",
     }
+    if bucket_sizes:
+        meta["bucket_batches"] = bucket_sizes
     # Write-to-temp + rename-after-check: a failed bit-exactness check must
     # not leave a known-bad (but valid-looking) artifact at the requested
     # path for a deploy glob or retry to pick up.
@@ -133,6 +163,8 @@ def export_artifact(
     with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_META_NAME, json.dumps(meta, indent=1))
         z.writestr(_MODULE_NAME, payload)
+        for b, pl in bucket_payloads.items():
+            z.writestr(_MODULE_NAME_BUCKET.format(b), pl)
     try:
         if will_check:
             loaded = ExportedEngine(tmp_path, batch_size=engine.batch_size)
@@ -146,8 +178,21 @@ def export_artifact(
             if not np.array_equal(ref, got):
                 raise AssertionError(
                     "exported artifact output differs from the live engine")
+            # Each extra bucket program against the live engine running the
+            # SAME batch shape (padding-free comparison: XLA may tile
+            # different batch sizes differently, so same-shape is the
+            # bit-exactness contract).
+            for b in bucket_payloads:
+                xb = (rng.rand(b, *dims) * 255).astype(np.uint8)
+                ref_b = engine.fetch(engine.dispatch(xb, bucket=b))
+                got_b = loaded.fetch(loaded.dispatch(xb, bucket=b))
+                if not np.array_equal(ref_b, got_b):
+                    raise AssertionError(
+                        f"bucket-{b} program differs from the live engine")
             print(f"check ok: artifact matches the live engine bit-exactly "
-                  f"on a random batch ({backend})")
+                  f"on a random batch ({backend}"
+                  + (f", buckets {bucket_sizes}" if bucket_sizes else "")
+                  + ")")
         os.replace(tmp_path, out_path)
     except BaseException:
         try:
@@ -185,8 +230,13 @@ class ExportedEngine:
         from jax import export as jax_export
 
         self.meta = read_artifact_meta(path)
+        bucket_sizes = [int(b) for b in self.meta.get("bucket_batches", [])]
         with zipfile.ZipFile(path) as z:
             payload = z.read(_MODULE_NAME)
+            bucket_payloads = {
+                b: z.read(_MODULE_NAME_BUCKET.format(b))
+                for b in bucket_sizes
+                if _MODULE_NAME_BUCKET.format(b) in z.namelist()}
         self._exp = jax_export.deserialize(payload)
         backend = jax.default_backend()
         if backend not in self._exp.platforms:
@@ -207,11 +257,23 @@ class ExportedEngine:
                 f"artifact has a fixed batch of {fixed}; requested "
                 f"{self.batch_size} (use a --symbolic_batch export for "
                 "variable batch sizes)")
+        # Extra pre-lowered bucket programs (multi-bucket exports): the
+        # daemon's small-batch dispatch works AOT with zero on-host lowering.
+        self._calls = {self.batch_size: self._call}
+        for b, pl in bucket_payloads.items():
+            if b == self.batch_size:
+                continue
+            self._calls[b] = jax.jit(jax_export.deserialize(pl).call)
+        self._bucket_sizes = sorted(self._calls)
 
     def round_bucket(self, b: int) -> int:
-        """Valid compiled batch >= b: fixed-batch artifacts carry exactly one
-        program shape; symbolic-batch ones compile any size on demand."""
+        """Smallest compiled batch shape >= b. Fixed-batch artifacts carry
+        their `bucket_batches` programs (just the full batch for single-shape
+        exports); symbolic-batch ones compile any size on demand."""
         if self.fixed_batch:
+            for size in self._bucket_sizes:
+                if size >= int(b):
+                    return size
             return self.batch_size
         return min(self.batch_size, max(1, int(b)))
 
@@ -228,9 +290,13 @@ class ExportedEngine:
         import jax
 
         n = batch_np.shape[0]
+        call = self._call
         if self.fixed_batch:
-            bucket = None  # one program shape; smaller pads would fail
-        return n, self._call(jax.device_put(self._prep(batch_np, bucket)))
+            # Only compiled shapes exist: route to the bucket's program
+            # (round_bucket pins unknown sizes to a shipped shape).
+            bucket = self.round_bucket(bucket) if bucket else self.batch_size
+            call = self._calls[bucket]
+        return n, call(jax.device_put(self._prep(batch_np, bucket)))
 
     def fetch(self, handle) -> np.ndarray:
         n, y = handle
@@ -262,6 +328,11 @@ def main(argv=None):
     parser.add_argument("--check", action="store_true",
                         help="Reload the artifact and verify bit-exact "
                              "against the live engine.")
+    parser.add_argument("--buckets", type=str, default="none",
+                        help="Extra fixed-batch programs to ship for the "
+                             "serving daemon's bucket dispatch: comma ints, "
+                             "'auto' (batch/8, matching serve --buckets "
+                             "auto), or 'none'.")
     args = parser.parse_args(argv)
 
     from .utils.jax_cache import enable_compilation_cache
@@ -272,17 +343,25 @@ def main(argv=None):
     from .utils.lint import report_lint
 
     report_lint(opt, "infer")
+    batch = int(args.batch or opt.get("batch_size", 64))
+    buckets = None
+    if args.buckets == "auto":
+        buckets = [batch // 8] if batch >= 8 else None
+    elif args.buckets not in ("none", ""):
+        buckets = [int(b) for b in args.buckets.split(",") if b.strip()]
     meta = export_artifact(
         opt, args.out, batch_size=args.batch,
         symbolic_batch=args.symbolic_batch, hw=args.hw,
         platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
-        check=args.check)
+        check=args.check, buckets=buckets)
     import os
 
     print(f"exported {meta['model_type']} -> {args.out} "
           f"({os.path.getsize(args.out) / 1e6:.1f} MB, "
           f"platforms {meta['platforms']}, batch "
-          f"{meta['batch_size'] if meta['batch_size'] else 'symbolic'})")
+          f"{meta['batch_size'] if meta['batch_size'] else 'symbolic'}"
+          + (f", buckets {meta['bucket_batches']}"
+             if meta.get("bucket_batches") else "") + ")")
 
 
 if __name__ == "__main__":

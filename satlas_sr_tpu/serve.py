@@ -82,8 +82,9 @@ def resolve_buckets(engine, buckets) -> list:
     BENCH_NOTES round-5 serving buckets), or an iterable of ints. Entries
     are rounded to valid engine batches (mesh-even, capped at batch_size)
     and the full batch is always kept so saturation throughput is unchanged.
-    Fixed-batch .ssrx artifacts carry one program shape: everything
-    collapses to [batch_size] (round_bucket pins it).
+    Fixed-batch .ssrx artifacts round to the programs they ship: single-shape
+    exports collapse to [batch_size]; multi-bucket exports
+    (`export --buckets`) keep their pre-lowered small shapes.
     """
     bs = engine.batch_size
     rounder = getattr(engine, "round_bucket", None) \

